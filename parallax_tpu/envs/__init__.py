@@ -1,0 +1,12 @@
+from parallax_tpu.envs import base, lunar_lander, robocup  # noqa: F401
+from parallax_tpu.envs.base import (  # noqa: F401
+    ConstantControl,
+    Control,
+    Environment,
+    Judge,
+    PolicyControl,
+    TimeStep,
+    evaluate,
+)
+from parallax_tpu.envs.lunar_lander import LanderConfig, LunarLander  # noqa: F401
+from parallax_tpu.envs.robocup import RoboCup, RoboCupConfig  # noqa: F401

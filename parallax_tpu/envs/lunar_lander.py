@@ -1,0 +1,367 @@
+"""LunarLander: 4-body jointed lander over randomized terrain.
+
+Geometry, masses, joints and terrain generation replicate the reference
+(/root/reference/cotix/_lunar_lander.py) constant-for-constant and
+key-for-key: the same PRNG key produces the same terrain (same
+``jr.split(key, 5)`` layout and uniform draws, _lunar_lander.py:108-125).
+
+What the reference left unimplemented (SURVEY §2.4) and parallax adds:
+
+* thrust controls (main + side engines, gym-LunarLander-style continuous
+  actions),
+* in-graph reward shaping / termination / auto-reset,
+* fully batched stepping — terrain vertices live in the env state, so every
+  world in a batch has its own terrain and resets regenerate it on-device.
+
+Bodies (reference order, _lunar_lander.py:143): 0 lander (Polygon6),
+1 right leg, 2 left leg (Polygon4), 3 ground (7 Polygon4 terrain segments).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from parallax_tpu.dynamics.bodies import BodyState
+from parallax_tpu.dynamics.joints import Joints
+from parallax_tpu.engine.world import BodyDef, World, WorldConfig
+from parallax_tpu.envs.base import Environment, TimeStep
+from parallax_tpu.geometry.math import order_clockwise, rotate, safe_norm
+from parallax_tpu.geometry.shapes import MAX_VERTS, polygon
+
+# ---- reference constants (_lunar_lander.py:11-23) -------------------------
+
+LANDER_POLY = np.array(
+    [(-14, 17), (-17, 0), (-17, -10), (17, -10), (17, 0), (14, 17)], np.float32
+)
+LEG_AWAY = 24
+LEG_DOWN = 8
+LEG_W, LEG_H = 2, 8
+LEG_ANGLE = -0.3
+SCALE = 0.05
+
+N_TERRAIN = 7
+PAD_X = (-2.0, 2.0)
+PAD_Y = -2.0
+
+
+def _leg_vertices(side: int) -> np.ndarray:
+    """Leg quad, rotated the reference way (v @ R, i.e. by -LEG_ANGLE) and
+
+    scaled; side=+1 left leg, -1 right leg (_lunar_lander.py:32-72)."""
+    v = np.array(
+        [(-LEG_W, -LEG_H), (LEG_W, -LEG_H), (LEG_W, LEG_H), (-LEG_W, LEG_H)],
+        np.float32,
+    )
+    a = LEG_ANGLE
+    R = np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]], np.float32)
+    v = v @ R
+    v = v * SCALE
+    if side < 0:
+        v = v * np.array([-1.0, 1.0], np.float32)
+    return v
+
+
+@dataclasses.dataclass(frozen=True)
+class LanderConfig:
+    dt: float = 0.01
+    gravity: float = 0.2  # reference demo: v += (0, -0.002) per 0.01s step
+    main_power: float = 0.5  # peak main-engine acceleration [u/s^2]
+    side_power: float = 0.1  # lateral acceleration at full side throttle
+    side_torque: float = 0.6  # angular acceleration at full side throttle
+    fuel_cost_main: float = 0.03
+    fuel_cost_side: float = 0.003
+    max_steps: int = 1000
+    solver_mode: str = "jacobi"
+    solver_iterations: int = 4
+    leg_omega_damping: float = 0.95  # reference _lunar_lander.py:206-212
+    landed_speed: float = 0.08
+    landed_omega: float = 0.2
+    crash_tilt: float = 1.4
+    out_x: float = 15.0
+    out_y: float = -9.5
+    landed_bonus: float = 10.0
+    crash_penalty: float = -10.0
+
+
+class LanderState(struct.PyTreeNode):
+    bodies: BodyState
+    terrain: jnp.ndarray  # [7, MAX_VERTS, 2] ground segment vertices (world frame)
+    t: jnp.ndarray  # i32 step counter
+    key: jnp.ndarray
+    prev_shaping: jnp.ndarray  # f32, potential-based reward memory
+
+
+def terrain_vertices(key) -> jnp.ndarray:
+    """Reference terrain sampler (_lunar_lander.py:108-132), in-graph.
+
+    Same key-split layout and uniform ranges as the reference; returns
+    [7, MAX_VERTS, 2] clockwise-ordered, repeat-padded world-frame quads.
+    """
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    heights = jax.random.uniform(k1, (8,), minval=-5.0, maxval=5.0)
+    heights = heights.at[0].set(heights[0] * 10)
+    heights = heights.at[3].set(-2.0)
+    heights = heights.at[-4].set(-2.0)
+    heights = heights.at[-1].set(heights[-1] * 10)
+
+    positions = jnp.stack(
+        [
+            jnp.asarray(-100.0),
+            jax.random.uniform(k2, (), minval=-12.0, maxval=-9.0),
+            jax.random.uniform(k3, (), minval=-8.0, maxval=-4.0),
+            jnp.asarray(-2.0),
+            jnp.asarray(2.0),
+            jax.random.uniform(k4, (), minval=4.0, maxval=8.0),
+            jax.random.uniform(k5, (), minval=9.0, maxval=12.0),
+            jnp.asarray(100.0),
+        ]
+    )
+    x0 = positions[:-1]
+    x1 = positions[1:]
+    h0 = heights[:-1]
+    h1 = heights[1:]
+    quads = jnp.stack(
+        [
+            jnp.stack([x0, h0], axis=-1),
+            jnp.stack([x0, jnp.full_like(x0, -10.0)], axis=-1),
+            jnp.stack([x1, h1], axis=-1),
+            jnp.stack([x1, jnp.full_like(x1, -10.0)], axis=-1),
+        ],
+        axis=-2,
+    )  # [7, 4, 2]
+    quads = order_clockwise(quads)
+    pad_idx = [0, 1, 2, 3] + [3] * (MAX_VERTS - 4)
+    return quads[:, pad_idx, :]
+
+
+class LunarLander(Environment):
+    def __init__(self, config: LanderConfig = LanderConfig()):
+        self.config = config
+
+        lander = BodyDef(
+            shapes=[polygon(LANDER_POLY * SCALE)],
+            mass=30.0,
+            inertia=30.0,
+            position=(0.0, 5.0),
+            angle=0.01,
+            friction=0.1,
+            name="lander",
+        )
+        right_leg = BodyDef(
+            shapes=[polygon(_leg_vertices(-1))],
+            mass=1.0,
+            inertia=1.0,
+            position=(-LEG_AWAY * SCALE, -LEG_DOWN * SCALE + 5.0),
+            friction=0.1,
+            name="right_leg",
+        )
+        left_leg = BodyDef(
+            shapes=[polygon(_leg_vertices(+1))],
+            mass=1.0,
+            inertia=1.0,
+            position=(LEG_AWAY * SCALE, -LEG_DOWN * SCALE + 5.0),
+            friction=0.1,
+            name="left_leg",
+        )
+        # terrain placeholder quads; real vertices come from the state
+        ground = BodyDef(
+            shapes=[
+                polygon([(i, -9.0), (i + 1.0, -9.0), (i + 1.0, -10.0), (i, -10.0)])
+                for i in range(N_TERRAIN)
+            ],
+            mass=np.inf,
+            inertia=np.inf,
+            elasticity=0.1,
+            friction=0.1,
+            name="ground",
+        )
+
+        # joints (reference _lunar_lander.py:145-204): two per leg; order
+        # matters for the sequential solve: left1, left2, right1, right2.
+        joints = Joints.make(
+            body_a=[0, 0, 0, 0],
+            body_b=[2, 2, 1, 1],
+            anchor_a=np.array(
+                [
+                    [LEG_AWAY * SCALE, -LEG_DOWN * SCALE],
+                    [LEG_AWAY * SCALE, (-LEG_DOWN + 8) * SCALE],
+                    [-LEG_AWAY * SCALE, -LEG_DOWN * SCALE],
+                    [-LEG_AWAY * SCALE, (-LEG_DOWN + 8) * SCALE],
+                ],
+                np.float32,
+            ),
+            anchor_b=np.array(
+                [[0.0, 0.0], [0.0, 0.4], [0.0, 0.0], [0.0, 0.4]], np.float32
+            ),
+            kp=1.0,
+            kd=0.05,
+            v0=0.1,
+        )
+
+        wc = WorldConfig(
+            dt=config.dt,
+            gravity=(0.0, -config.gravity),
+            integrator="reference",
+            solver_mode=config.solver_mode,
+            solver_iterations=config.solver_iterations,
+            joint_mode="gauss_seidel",
+        )
+        self.world, self._init_bodies = World.build(
+            [lander, right_leg, left_leg, ground], wc, joints=joints
+        )
+
+        # static contact-lane masks: which buffer lanes touch which bodies
+        ba = np.asarray(self.world.table.body_a)
+        bb = np.asarray(self.world.table.body_b)
+        self._left_leg_lanes = np.nonzero(
+            ((ba == 2) & (bb == 3)) | ((ba == 3) & (bb == 2))
+        )[0]
+        self._right_leg_lanes = np.nonzero(
+            ((ba == 1) & (bb == 3)) | ((ba == 3) & (bb == 1))
+        )[0]
+        self._lander_ground_lanes = np.nonzero(
+            ((ba == 0) & (bb == 3)) | ((ba == 3) & (bb == 0))
+        )[0]
+        self._ground_parts = [
+            i for i, b in enumerate(self.world.parts.body) if b == 3
+        ]
+        # leg omega damping vector (bodies 1 and 2)
+        self._omega_damp = jnp.asarray(
+            [1.0, config.leg_omega_damping, config.leg_omega_damping, 1.0]
+        )
+
+    # ------------------------------------------------------------------
+
+    @property
+    def action_size(self) -> int:
+        return 2  # [main in [0,1] (negatives = off), side in [-1,1]]
+
+    @property
+    def observation_size(self) -> int:
+        return 9
+
+    def _world_with_terrain(self, terrain) -> World:
+        verts = self.world.parts.verts.at[np.asarray(self._ground_parts)].set(terrain)
+        return self.world.replace(parts=self.world.parts.replace(verts=verts))
+
+    def reset_fn(self, key) -> LanderState:
+        tkey, skey = jax.random.split(key)
+        terrain = terrain_vertices(tkey)
+        state = LanderState(
+            bodies=self._init_bodies,
+            terrain=terrain,
+            t=jnp.zeros((), jnp.int32),
+            key=skey,
+            prev_shaping=jnp.zeros(()),
+        )
+        return state.replace(prev_shaping=self._shaping(state, jnp.zeros(2, bool)))
+
+    def observe(self, state: LanderState) -> jnp.ndarray:
+        b = state.bodies
+        return jnp.concatenate(
+            [
+                b.pos[0] - jnp.asarray([0.0, PAD_Y]),
+                b.vel[0],
+                jnp.stack([jnp.sin(b.angle[0]), jnp.cos(b.angle[0])]),
+                b.omega[0][None],
+                jnp.zeros((2,)),  # leg contacts filled by step_fn
+            ]
+        )
+
+    def _observe_with_contacts(self, state, leg_contacts):
+        obs = self.observe(state)
+        return obs.at[7:9].set(leg_contacts.astype(obs.dtype))
+
+    def _shaping(self, state: LanderState, leg_contacts) -> jnp.ndarray:
+        b = state.bodies
+        dist = safe_norm(b.pos[0] - jnp.asarray([0.0, PAD_Y + 1.0]))
+        speed = safe_norm(b.vel[0])
+        return (
+            -1.0 * dist
+            - 1.0 * speed
+            - 1.0 * jnp.abs(b.angle[0])
+            + 0.3 * jnp.sum(leg_contacts)
+        )
+
+    def step_fn(self, state: LanderState, action):
+        cfg = self.config
+        action = jnp.asarray(action, jnp.float32)
+        main = jnp.clip(action[0], 0.0, 1.0)
+        side = jnp.clip(action[1], -1.0, 1.0)
+
+        b = state.bodies
+        # thrust as velocity kicks on the lander (body 0)
+        up = rotate(jnp.asarray([0.0, 1.0]), b.angle[0])
+        right = rotate(jnp.asarray([1.0, 0.0]), b.angle[0])
+        dv = up * (cfg.main_power * main * cfg.dt) + right * (
+            cfg.side_power * side * cfg.dt
+        )
+        b = b.replace(
+            vel=b.vel.at[0].add(dv),
+            omega=b.omega.at[0].add(-cfg.side_torque * side * cfg.dt),
+        )
+
+        world = self._world_with_terrain(state.terrain)
+        b, contacts = world.step(b)
+        b = b.replace(omega=b.omega * self._omega_damp)
+
+        act = contacts.active
+        leg_contacts = jnp.stack(
+            [
+                jnp.any(act[self._left_leg_lanes]) if len(self._left_leg_lanes) else jnp.array(False),
+                jnp.any(act[self._right_leg_lanes]) if len(self._right_leg_lanes) else jnp.array(False),
+            ]
+        )
+        lander_contact = (
+            jnp.any(act[self._lander_ground_lanes])
+            if len(self._lander_ground_lanes)
+            else jnp.array(False)
+        )
+
+        new_state = state.replace(bodies=b, t=state.t + 1)
+
+        # termination
+        speed = safe_norm(b.vel[0])
+        landed = (
+            jnp.all(leg_contacts)
+            & (speed < cfg.landed_speed)
+            & (jnp.abs(b.omega[0]) < cfg.landed_omega)
+            & (jnp.abs(b.angle[0]) < 0.3)
+        )
+        crashed = (
+            lander_contact
+            | (jnp.abs(b.pos[0, 0]) > cfg.out_x)
+            | (b.pos[0, 1] < cfg.out_y)
+            | (jnp.abs(b.angle[0]) > cfg.crash_tilt)
+        )
+        truncated = new_state.t >= cfg.max_steps
+
+        shaping = self._shaping(new_state, leg_contacts)
+        reward = (
+            shaping
+            - state.prev_shaping
+            - cfg.fuel_cost_main * main
+            - cfg.fuel_cost_side * jnp.abs(side)
+        )
+        reward = reward + jnp.where(landed, cfg.landed_bonus, 0.0)
+        reward = reward + jnp.where(crashed, cfg.crash_penalty, 0.0)
+        new_state = new_state.replace(prev_shaping=shaping)
+
+        ts = TimeStep(
+            obs=self._observe_with_contacts(new_state, leg_contacts),
+            reward=reward,
+            terminated=landed | crashed,
+            truncated=truncated & ~(landed | crashed),
+            info={
+                "landed": landed,
+                "crashed": crashed,
+                "leg_contacts": leg_contacts,
+                "fuel": main + jnp.abs(side),
+            },
+        )
+        return new_state, ts

@@ -1,0 +1,242 @@
+"""RoboCup SSL field environment.
+
+Field / goal / ball geometry replicates the reference constant-for-constant
+(/root/reference/cotix/_robocup.py:14-122): 10.4x7.4 field, 9x6 play area,
+0.2x1 goals built from three 0.01-thick boxes, ball = circle of radius
+0.022*3, mass 0.5, restitution 1.0, spawned with velocity (1.0, 0.01) and
+spin 10.
+
+The reference ships no robots, no controls and no rewards despite the name
+(SURVEY §2.3); parallax adds them:
+
+* N robots per team (SSL-style 0.09 m-radius circular bodies) driven by
+  per-robot velocity commands (vx, vy, omega) with acceleration limits —
+  the standard SSL control abstraction;
+* goal detection with +/-1 reward (blue attacks the yellow goal at -x),
+  plus a small ball-progress shaping term;
+* termination on goals, truncation on the step limit, in-graph auto-reset.
+
+The field body is an *area* (``is_area=True``): instead of colliding like a
+solid, it generates containment contacts that keep ball and robots inside —
+the reference's documented intent for area bodies (_robocup.py:88-98).
+The play-area body exists for out-of-bounds bookkeeping only and is
+excluded from collision entirely (as in the reference, where nothing ever
+used it).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from parallax_tpu.dynamics.bodies import BodyState
+from parallax_tpu.engine.world import BodyDef, World, WorldConfig
+from parallax_tpu.envs.base import Environment, TimeStep
+from parallax_tpu.geometry.shapes import box, circle
+
+FIELD_DIM = (10.4, 7.4)
+PLAY_AREA = (9.0, 6.0)
+GOAL_DIM = (0.2, 1.0)
+GOAL_WALL = 0.01
+BALL_RADIUS = 0.022 * 3
+
+
+def _goal_boxes(side: int):
+    """Three thin boxes forming one goal (reference _robocup.py:36-60).
+
+    side=-1: yellow goal at -x; side=+1: blue goal at +x (y-mirror)."""
+    lo = np.array([-PLAY_AREA[0] / 2 - GOAL_DIM[0], -GOAL_DIM[1] / 2])
+    hi = np.array([-PLAY_AREA[0] / 2, GOAL_DIM[1] / 2])
+    walls = [
+        (lo, lo + np.array([GOAL_WALL, GOAL_DIM[1]])),  # back wall
+        (lo + np.array([GOAL_WALL, 0.0]), lo + np.array([GOAL_DIM[0], GOAL_WALL])),
+        (hi - np.array([GOAL_DIM[0], GOAL_WALL]), hi),  # top wall
+    ]
+    if side > 0:
+        walls = [((-u[0], l[1]), (-l[0], u[1])) for (l, u) in walls]
+    return [box(l, u) for (l, u) in walls]
+
+
+@dataclasses.dataclass(frozen=True)
+class RoboCupConfig:
+    n_robots_per_team: int = 3
+    dt: float = 0.01
+    max_steps: int = 2000
+    robot_radius: float = 0.09
+    robot_mass: float = 2.5
+    robot_inertia: float = 0.02
+    robot_max_speed: float = 3.0
+    robot_max_accel: float = 4.0
+    robot_max_omega: float = 10.0
+    ball_damping: float = 0.995  # rolling friction per step
+    goal_reward: float = 1.0
+    shaping_coef: float = 0.01
+    solver_mode: str = "jacobi"
+    solver_iterations: int = 4
+    randomize_ball: bool = True
+
+
+class RoboCupState(struct.PyTreeNode):
+    bodies: BodyState
+    t: jnp.ndarray
+    key: jnp.ndarray
+
+
+class RoboCup(Environment):
+    """Multi-agent SSL env; blue team (robots 0..N-1) attacks the yellow
+
+    goal at -x, yellow team (robots N..2N-1) attacks +x.  Reward is from
+    the blue team's perspective."""
+
+    def __init__(self, config: RoboCupConfig = RoboCupConfig()):
+        self.config = config
+        N = config.n_robots_per_team
+
+        field = BodyDef(
+            shapes=[box(-np.array(FIELD_DIM) / 2, np.array(FIELD_DIM) / 2)],
+            mass=np.inf, inertia=np.inf, is_area=True, name="field",
+        )
+        play_area = BodyDef(
+            shapes=[box(-np.array(PLAY_AREA) / 2, np.array(PLAY_AREA) / 2)],
+            mass=np.inf, inertia=np.inf, is_area=True, name="play_area",
+        )
+        yellow_goal = BodyDef(
+            shapes=_goal_boxes(-1), mass=np.inf, inertia=np.inf,
+            elasticity=0.5, name="yellow_goal",
+        )
+        blue_goal = BodyDef(
+            shapes=_goal_boxes(+1), mass=np.inf, inertia=np.inf,
+            elasticity=0.5, name="blue_goal",
+        )
+        ball = BodyDef(
+            shapes=[circle(BALL_RADIUS)], mass=0.5, inertia=1.0,
+            velocity=(1.0, 0.01), angular_velocity=10.0, elasticity=1.0,
+            friction=0.2, name="ball",
+        )
+
+        robots = []
+        for team, sign in (("blue", +1), ("yellow", -1)):
+            for i in range(N):
+                y = (i - (N - 1) / 2) * 1.5
+                robots.append(
+                    BodyDef(
+                        shapes=[circle(config.robot_radius)],
+                        mass=config.robot_mass,
+                        inertia=config.robot_inertia,
+                        position=(sign * (1.0 + i * 0.8), y),
+                        elasticity=0.3,
+                        friction=0.5,
+                        name=f"{team}_{i}",
+                    )
+                )
+
+        bodies = [field, play_area, yellow_goal, blue_goal, ball] + robots
+        self.ball_idx = 4
+        self.robot_idx = np.arange(5, 5 + 2 * N)
+        n_bodies = len(bodies)
+        # play_area never collides with anything
+        filt = [(1, j) for j in range(n_bodies) if j != 1]
+
+        wc = WorldConfig(
+            dt=config.dt,
+            gravity=(0.0, 0.0),
+            integrator="reference",
+            solver_mode=config.solver_mode,
+            solver_iterations=config.solver_iterations,
+        )
+        self.world, self._init_bodies = World.build(bodies, wc, collision_filter=filt)
+
+    # ------------------------------------------------------------------
+
+    @property
+    def n_robots(self) -> int:
+        return 2 * self.config.n_robots_per_team
+
+    @property
+    def action_size(self) -> int:
+        return self.n_robots * 3
+
+    @property
+    def observation_size(self) -> int:
+        return 4 + self.n_robots * 4
+
+    def reset_fn(self, key) -> RoboCupState:
+        bkey, skey = jax.random.split(key)
+        b = self._init_bodies
+        if self.config.randomize_ball:
+            ang = jax.random.uniform(bkey, (), minval=0.0, maxval=2 * jnp.pi)
+            speed = 1.0
+            v = jnp.stack([jnp.cos(ang), jnp.sin(ang)]) * speed
+            b = b.replace(vel=b.vel.at[self.ball_idx].set(v))
+        return RoboCupState(bodies=b, t=jnp.zeros((), jnp.int32), key=skey)
+
+    def observe(self, state: RoboCupState) -> jnp.ndarray:
+        b = state.bodies
+        ri = self.robot_idx
+        return jnp.concatenate(
+            [
+                b.pos[self.ball_idx],
+                b.vel[self.ball_idx],
+                b.pos[ri].reshape(-1),
+                b.vel[ri].reshape(-1),
+            ]
+        )
+
+    def step_fn(self, state: RoboCupState, action):
+        cfg = self.config
+        action = jnp.asarray(action, jnp.float32).reshape(self.n_robots, 3)
+        v_cmd = jnp.clip(action[:, :2], -cfg.robot_max_speed, cfg.robot_max_speed)
+        w_cmd = jnp.clip(action[:, 2], -cfg.robot_max_omega, cfg.robot_max_omega)
+
+        b = state.bodies
+        ri = self.robot_idx
+        # velocity tracking with acceleration limit
+        dv = jnp.clip(
+            v_cmd - b.vel[ri],
+            -cfg.robot_max_accel * cfg.dt,
+            cfg.robot_max_accel * cfg.dt,
+        )
+        b = b.replace(
+            vel=b.vel.at[ri].add(dv),
+            omega=b.omega.at[ri].set(w_cmd),
+        )
+
+        b, contacts = self.world.step(b)
+        # ball rolling friction
+        b = b.replace(vel=b.vel.at[self.ball_idx].multiply(cfg.ball_damping))
+
+        new_state = state.replace(bodies=b, t=state.t + 1)
+
+        bx, by = b.pos[self.ball_idx, 0], b.pos[self.ball_idx, 1]
+        line = PLAY_AREA[0] / 2
+        in_mouth = jnp.abs(by) < GOAL_DIM[1] / 2
+        blue_scored = (bx < -(line + BALL_RADIUS)) & in_mouth  # into yellow goal
+        yellow_scored = (bx > (line + BALL_RADIUS)) & in_mouth
+
+        # shaping: ball progress toward the yellow goal (blue's objective)
+        shaping = -cfg.shaping_coef * bx
+
+        reward = (
+            jnp.where(blue_scored, cfg.goal_reward, 0.0)
+            - jnp.where(yellow_scored, cfg.goal_reward, 0.0)
+            + shaping * cfg.dt
+        )
+        terminated = blue_scored | yellow_scored
+        truncated = (new_state.t >= cfg.max_steps) & ~terminated
+
+        ts = TimeStep(
+            obs=self.observe(new_state),
+            reward=reward,
+            terminated=terminated,
+            truncated=truncated,
+            info={
+                "blue_scored": blue_scored,
+                "yellow_scored": yellow_scored,
+                "ball_speed": jnp.linalg.norm(b.vel[self.ball_idx]),
+            },
+        )
+        return new_state, ts

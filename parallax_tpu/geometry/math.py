@@ -26,8 +26,34 @@ __all__ = [
     "order_clockwise",
     "is_point_in_triangle",
     "angle_between",
+    "safe_norm",
+    "safe_normalize",
     "Transform2",
 ]
+
+
+def safe_norm(v: jnp.ndarray, axis: int = -1, keepdims: bool = False) -> jnp.ndarray:
+    """L2 norm with a finite gradient at ``v = 0`` (where it returns 0).
+
+    ``jnp.linalg.norm`` has a NaN reverse-mode gradient at the origin, and
+    zero vectors are *routine* here (inactive contact lanes, repeat-padded
+    polygon edges, resting joints), so every hot-path norm must use this.
+    """
+    sq = jnp.sum(v * v, axis=axis, keepdims=keepdims)
+    zero = sq == 0
+    return jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, sq)))
+
+
+def safe_normalize(v: jnp.ndarray, axis: int = -1, fallback=None) -> jnp.ndarray:
+    """``v / |v|`` with finite gradients at 0; returns ``fallback`` (or the
+
+    zero vector) where ``|v| = 0``."""
+    n = safe_norm(v, axis=axis, keepdims=True)
+    zero = n == 0
+    out = v / jnp.where(zero, 1.0, n)
+    if fallback is not None:
+        out = jnp.where(zero, fallback, out)
+    return out
 
 
 def fast_normal(a: jnp.ndarray) -> jnp.ndarray:

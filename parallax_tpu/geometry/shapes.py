@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from parallax_tpu.geometry.math import order_clockwise, rotate
+from parallax_tpu.geometry.math import order_clockwise, rotate, safe_normalize
 
 CIRCLE = 0
 BOX = 1  # axis-aligned box (the reference's AABB shape)
@@ -242,7 +242,7 @@ def support_circle(center, radius, direction):
     """center + r * dir/|dir| (reference Circle.get_support,
 
     _convex_shapes.py:23-26)."""
-    n = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
+    n = safe_normalize(direction)
     return center + radius[..., None] * n
 
 
@@ -285,7 +285,8 @@ def contains_polygon(verts, edge_mask, point):
     nxt = jnp.roll(verts, shift=-1, axis=-2)
     e = verts - nxt  # edge vector (v_k - v_{k+1}) as in the reference
     n = jnp.stack([-e[..., 1], e[..., 0]], axis=-1)  # fast_normal
-    d = jnp.einsum("...vd,...d->...v", n, point[..., None, :] - verts)
+    rel = point[..., None, :] - verts  # [.., V, 2]
+    d = jnp.sum(n * rel, axis=-1)  # [.., V]
     sgn = jnp.sign(d)
     # all real-edge signs equal (0 signs count as matching either side)
     pos_ok = jnp.all(jnp.where(edge_mask, sgn >= 0, True), axis=-1)

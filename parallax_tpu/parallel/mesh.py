@@ -1,0 +1,70 @@
+"""Device mesh + batch sharding for env fleets.
+
+The scaling model (SURVEY §2.2, §5): environments are embarrassingly
+parallel along the world-batch axis, so the mesh is one flat ``"worlds"``
+axis spanning every chip (ICI within a slice, DCN across slices).  Each
+device steps its shard of the batch with **zero per-step collectives**;
+reductions (learner gradients, metrics) happen at the trajectory boundary
+where XLA inserts psums over ICI automatically from the shardings.
+
+Multi-host: call ``distributed_init()`` once per process, build the mesh
+over ``jax.devices()`` (global), and feed per-host shards via
+``host_local_batch`` — standard jax.distributed SPMD.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+WORLD_AXIS = "worlds"
+
+
+def distributed_init(coordinator_address: Optional[str] = None, **kwargs) -> None:
+    """Initialize multi-host JAX (no-op when single-process)."""
+    if jax.process_count() > 1 or coordinator_address is not None:
+        jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)
+
+
+def make_world_mesh(devices=None, axis: str = WORLD_AXIS) -> Mesh:
+    """1-D mesh over all (or given) devices; axis name = "worlds"."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = WORLD_AXIS) -> NamedSharding:
+    """Shard the leading (batch) axis; replicate the rest."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(tree, mesh: Mesh, axis: str = WORLD_AXIS):
+    """Place a batched pytree so its leading axis is sharded over the mesh.
+
+    Every leaf must have the batch axis leading and divisible by the mesh
+    size.  Constraint propagation inside jit keeps the layout end-to-end.
+    """
+    sh = batch_sharding(mesh, axis)
+    n = mesh.devices.size
+
+    def _put(x):
+        if x.ndim == 0 or x.shape[0] % n != 0:
+            return jax.device_put(x, replicated(mesh))
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(_put, tree)
+
+
+def host_local_batch(global_batch: int) -> int:
+    """Batch size this host should produce (global_batch / process_count)."""
+    pc = jax.process_count()
+    if global_batch % pc != 0:
+        raise ValueError(f"global batch {global_batch} not divisible by {pc} hosts")
+    return global_batch // pc

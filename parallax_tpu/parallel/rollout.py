@@ -1,0 +1,103 @@
+"""Batched rollouts and the differentiable-physics training step.
+
+``rollout``: scan an env + policy over time with optional gradient
+checkpointing (``jax.checkpoint`` over segments — the memory/FLOP trade for
+long-horizon backprop, the TPU analogue of the reference's checkpointed
+while-loops, _collisions.py:100-102).
+
+``make_train_step``: the flagship multi-chip program — analytic policy
+gradients *through the physics*: grad of mean return over a sharded world
+batch w.r.t. policy parameters.  Under jit with the batch sharded on the
+"worlds" mesh axis and parameters replicated, XLA inserts the psum over ICI
+at the loss reduction; no hand-written collectives needed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def rollout(
+    env,
+    state,
+    policy_fn: Callable,
+    policy_params,
+    n_steps: int,
+    checkpoint_segments: int = 0,
+):
+    """Roll a policy for n_steps; returns (final_state, stacked TimeSteps).
+
+    ``policy_fn(params, obs) -> action``.  With ``checkpoint_segments > 0``
+    the scan is split into that many rematerialized segments so reverse-mode
+    memory scales with segment count, not step count.
+    """
+
+    def step_once(state, _):
+        obs = env.observe(state)
+        action = policy_fn(policy_params, obs)
+        state, ts = env.step(state, action)
+        return state, ts
+
+    if checkpoint_segments and n_steps % checkpoint_segments == 0:
+        seg = n_steps // checkpoint_segments
+
+        @jax.checkpoint
+        def segment(state, _):
+            return jax.lax.scan(step_once, state, None, length=seg)
+
+        state, tss = jax.lax.scan(segment, state, None, length=checkpoint_segments)
+        tss = jax.tree_util.tree_map(
+            lambda x: x.reshape((n_steps,) + x.shape[2:]), tss
+        )
+        return state, tss
+
+    return jax.lax.scan(step_once, state, None, length=n_steps)
+
+
+def batched_rollout(env, states, policy_fn, policy_params, n_steps, checkpoint_segments=0):
+    """vmap of :func:`rollout` over the leading batch axis of ``states``."""
+    return jax.vmap(
+        lambda s: rollout(env, s, policy_fn, policy_params, n_steps, checkpoint_segments)
+    )(states)
+
+
+def make_train_step(
+    env,
+    policy_fn: Callable,
+    optimizer,
+    n_steps: int,
+    checkpoint_segments: int = 0,
+    discount: float = 0.99,
+):
+    """Differentiable-physics policy-gradient train step.
+
+    Returns ``train_step(params, opt_state, env_states) ->
+    (params, opt_state, env_states, metrics)``; jit it with the env-state
+    batch sharded over the "worlds" mesh axis and params replicated —
+    the gradient mean then becomes a cross-device psum over ICI.
+    """
+
+    def loss_fn(params, states):
+        final, tss = batched_rollout(
+            env, states, policy_fn, params, n_steps, checkpoint_segments
+        )
+        # discounted return through the differentiable step
+        T = n_steps
+        disc = discount ** jnp.arange(T, dtype=jnp.float32)
+        ret = jnp.sum(tss.reward * disc[None, :], axis=1)  # [B]
+        return -jnp.mean(ret), (final, jnp.mean(ret))
+
+    def train_step(params, opt_state, states):
+        (loss, (final, mean_ret)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, states)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        metrics = {"loss": loss, "mean_return": mean_ret}
+        return params, opt_state, final, metrics
+
+    return train_step

@@ -1,0 +1,388 @@
+"""Narrow-phase property tests.
+
+TPU-port of the reference's invariant-oracle strategy
+(test/test_collisions.py:75-159): instead of golden values, check physical
+invariants over thousands of random configurations in a single vmap:
+
+* consistency: analytic/SAT activity agrees with GJK ground truth;
+* resolution: translating A by the penetration vector separates the pair;
+* minimality: translating by slightly less does NOT separate;
+* containment: contact points lie in (a neighborhood of) both shapes.
+
+The reference ran 10M configs across skipped/active suites; we use smaller
+counts per case (CPU CI) but cover every pair type including the ones the
+reference skipped ("not implemented", test_collisions.py:181-451).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parallax_tpu.geometry import gjk as gjk_mod
+from parallax_tpu.geometry.contacts import (
+    contact_box_box,
+    contact_box_polygon,
+    contact_circle_box,
+    contact_circle_circle,
+    contact_circle_in_box,
+    contact_circle_polygon,
+    contact_polygon_polygon,
+)
+from parallax_tpu.geometry.epa import epa
+from parallax_tpu.geometry.gjk import gjk
+from parallax_tpu.geometry.shapes import (
+    box_corners,
+    contains_polygon,
+    support_box,
+    support_circle,
+    support_polygon,
+)
+
+N = 2000
+
+
+def sup_poly(geom, d):
+    return support_polygon(geom, d)
+
+
+def sup_circle(geom, d):
+    c, r = geom
+    return support_circle(c, r, d)
+
+
+def sup_box(geom, d):
+    lo, hi = geom
+    return support_box(lo, hi, d)
+
+
+def random_circles(key, n):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    ca = jax.random.uniform(k1, (n, 2), minval=-2, maxval=2)
+    cb = jax.random.uniform(k2, (n, 2), minval=-2, maxval=2)
+    ra = jax.random.uniform(k3, (n,), minval=0.1, maxval=1.5)
+    rb = jax.random.uniform(k4, (n,), minval=0.1, maxval=1.5)
+    return ca, ra, cb, rb
+
+
+def random_boxes(key, n):
+    k1, k2 = jax.random.split(key)
+    c = jax.random.uniform(k1, (n, 2), minval=-2, maxval=2)
+    h = jax.random.uniform(k2, (n, 2), minval=0.1, maxval=1.5)
+    return c - h, c + h
+
+
+def random_polygons(key, n, nv=5):
+    """Random convex polygons: affine images of a regular nv-gon."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    ang = jnp.linspace(0, 2 * jnp.pi, nv, endpoint=False)
+    base = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)  # [nv, 2]
+    theta = jax.random.uniform(k1, (n,), minval=0, maxval=2 * jnp.pi)
+    scale = jax.random.uniform(k2, (n, 2), minval=0.3, maxval=1.5)
+    shift = jax.random.uniform(k3, (n, 2), minval=-2, maxval=2)
+    shear = jax.random.uniform(k4, (n,), minval=-0.4, maxval=0.4)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    # rotation @ shear @ scale
+    v = base[None] * scale[:, None, :]
+    v = v.at[..., 0].add(shear[:, None] * v[..., 1])
+    x = c[:, None] * v[..., 0] - s[:, None] * v[..., 1]
+    y = s[:, None] * v[..., 0] + c[:, None] * v[..., 1]
+    return jnp.stack([x, y], axis=-1) + shift[:, None, :]
+
+
+# ---------------------------------------------------------------------------
+# circle vs circle
+# ---------------------------------------------------------------------------
+
+
+def test_circle_circle_matches_ground_truth():
+    ca, ra, cb, rb = random_circles(jax.random.PRNGKey(0), N)
+    out = jax.vmap(contact_circle_circle)(ca, ra, cb, rb)
+    dist = jnp.linalg.norm(ca - cb, axis=-1)
+    overlap = dist <= ra + rb
+    assert np.array_equal(np.asarray(out.active), np.asarray(overlap))
+    # penetration direction from B to A, magnitude = depth
+    act = np.asarray(out.active)
+    depth = np.asarray(jnp.linalg.norm(out.penetration, axis=-1))
+    want = np.asarray(jnp.maximum(ra + rb - dist, 0.0))
+    assert np.allclose(depth[act], want[act], atol=1e-5)
+    # resolution invariant: moving A by pen separates exactly to touching
+    new_dist = np.asarray(jnp.linalg.norm(ca + out.penetration - cb, axis=-1))
+    assert np.all(new_dist[act] >= np.asarray(ra + rb)[act] - 1e-4)
+
+
+def test_circle_circle_gjk_agrees():
+    ca, ra, cb, rb = random_circles(jax.random.PRNGKey(1), 500)
+    res = jax.vmap(lambda a, r1, b, r2: gjk(sup_circle, (a, r1), sup_circle, (b, r2)))(
+        ca, ra, cb, rb
+    )
+    dist = np.asarray(jnp.linalg.norm(ca - cb, axis=-1))
+    rsum = np.asarray(ra + rb)
+    margin = np.abs(dist - rsum) > 1e-3 * rsum
+    got = np.asarray(res.colliding)
+    want = dist <= rsum
+    assert np.mean(got[margin] == want[margin]) > 0.999
+
+
+def test_circle_circle_epa_penetration():
+    ca, ra, cb, rb = random_circles(jax.random.PRNGKey(2), 300)
+    # force overlap: move b within (ra+rb) of a
+    dirn = (cb - ca) / jnp.linalg.norm(cb - ca, axis=-1, keepdims=True)
+    frac = jax.random.uniform(jax.random.PRNGKey(3), (300, 1), minval=0.2, maxval=0.95)
+    cb = ca + dirn * frac * (ra + rb)[:, None]
+
+    def one(a, r1, b, r2):
+        res = gjk(sup_circle, (a, r1), sup_circle, (b, r2))
+        pen = epa(sup_circle, (a, r1), sup_circle, (b, r2), res.simplex, 48)
+        return res.colliding, pen
+
+    col, pen = jax.vmap(one)(ca, ra, cb, rb)
+    col = np.asarray(col)
+    assert col.mean() > 0.98
+    dist = np.asarray(jnp.linalg.norm(ca - cb, axis=-1))
+    depth_want = np.asarray(ra + rb) - dist
+    depth_got = np.asarray(jnp.linalg.norm(pen, axis=-1))
+    ok = np.abs(depth_got - depth_want)[col] < 0.02 * (1 + depth_want[col])
+    assert ok.mean() > 0.97
+    # direction: from B to A
+    d_ba = np.asarray(ca - cb) / dist[:, None]
+    cosang = np.sum(np.asarray(pen) * d_ba, axis=-1) / np.maximum(depth_got, 1e-9)
+    assert (cosang[col] > 0.99).mean() > 0.97
+
+
+# ---------------------------------------------------------------------------
+# box kernels
+# ---------------------------------------------------------------------------
+
+
+def test_box_box_invariants():
+    la, ua = random_boxes(jax.random.PRNGKey(4), N)
+    lb, ub = random_boxes(jax.random.PRNGKey(5), N)
+    out = jax.vmap(contact_box_box)(la, ua, lb, ub)
+    overlap = np.asarray(
+        jnp.all((ua > lb) & (ub > la), axis=-1)
+    )
+    assert np.array_equal(np.asarray(out.active), overlap)
+    act = overlap
+    # moving A by pen separates (to touching)
+    la2 = np.asarray(la + out.penetration)
+    ua2 = np.asarray(ua + out.penetration)
+    sep_after = ~np.all((ua2 > np.asarray(lb) + 1e-5) & (np.asarray(ub) > la2 + 1e-5), axis=-1)
+    assert sep_after[act].mean() > 0.999
+    # contact point inside intersection region
+    p = np.asarray(out.point)
+    inside = np.all((p >= np.asarray(jnp.maximum(la, lb)) - 1e-5)
+                    & (p <= np.asarray(jnp.minimum(ua, ub)) + 1e-5), axis=-1)
+    assert inside[act].all()
+
+
+def test_circle_box_invariants():
+    lb, ub = random_boxes(jax.random.PRNGKey(6), N)
+    c = jax.random.uniform(jax.random.PRNGKey(7), (N, 2), minval=-3, maxval=3)
+    r = jax.random.uniform(jax.random.PRNGKey(8), (N,), minval=0.1, maxval=1.0)
+    out = jax.vmap(contact_circle_box)(c, r, lb, ub)
+    ccp = np.clip(np.asarray(c), np.asarray(lb), np.asarray(ub))
+    dist = np.linalg.norm(np.asarray(c) - ccp, axis=-1)
+    overlap = dist <= np.asarray(r) + 1e-6
+    assert np.array_equal(np.asarray(out.active), overlap)
+    # resolution: after moving the circle by pen it no longer overlaps
+    c2 = np.asarray(c + out.penetration)
+    ccp2 = np.clip(c2, np.asarray(lb), np.asarray(ub))
+    dist2 = np.linalg.norm(c2 - ccp2, axis=-1)
+    assert (dist2[overlap] >= np.asarray(r)[overlap] - 1e-4).mean() > 0.999
+
+
+def test_circle_in_box_containment():
+    lb = jnp.array([-2.0, -1.0])
+    ub = jnp.array([2.0, 1.0])
+    # inside: inactive
+    out = contact_circle_in_box(jnp.array([0.3, 0.2]), jnp.array(0.5), lb, ub)
+    assert not bool(out.active)
+    # escaping right wall
+    out = contact_circle_in_box(jnp.array([1.8, 0.0]), jnp.array(0.5), lb, ub)
+    assert bool(out.active)
+    assert np.allclose(np.asarray(out.penetration), [-0.3, 0.0], atol=1e-6)
+    # escaping corner: both axes push back
+    out = contact_circle_in_box(jnp.array([1.9, 0.9]), jnp.array(0.5), lb, ub)
+    assert np.allclose(np.asarray(out.penetration), [-0.4, -0.4], atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# polygon kernels (the pairs the reference skipped)
+# ---------------------------------------------------------------------------
+
+
+def _poly_edge_mask(nv):
+    return jnp.ones((nv,), bool)
+
+
+def test_polygon_polygon_sat_vs_gjk():
+    va = random_polygons(jax.random.PRNGKey(9), N)
+    vb = random_polygons(jax.random.PRNGKey(10), N)
+    em = _poly_edge_mask(5)
+    out = jax.vmap(lambda a, b: contact_polygon_polygon(a, em, b, em))(va, vb)
+    res = jax.vmap(lambda a, b: gjk(sup_poly, a, sup_poly, b))(va, vb)
+    got = np.asarray(out.active)
+    want = np.asarray(res.colliding)
+    # GJK has false negatives on grazing contacts; demand near-agreement
+    assert (got == want).mean() > 0.99
+
+
+def test_polygon_polygon_resolution_and_minimality():
+    va = random_polygons(jax.random.PRNGKey(11), N)
+    vb = random_polygons(jax.random.PRNGKey(12), N)
+    em = _poly_edge_mask(5)
+    out = jax.vmap(lambda a, b: contact_polygon_polygon(a, em, b, em))(va, vb)
+    act = np.asarray(out.active)
+
+    def sat_active(a, b):
+        return contact_polygon_polygon(a, em, b, em).active
+
+    # resolution: shift A by pen * (1 + eps) -> separated (grazing contacts
+    # below float resolution are excluded: a zero-length shift can't separate)
+    depths_all = np.asarray(jnp.linalg.norm(out.penetration, axis=-1))
+    meaningful = act & (depths_all > 1e-5)
+    sep = jax.vmap(sat_active)(va + out.penetration[:, None, :] * 1.001, vb)
+    assert (~np.asarray(sep)[meaningful]).mean() > 0.999
+    # minimality: shift A by pen * (1 - eps) -> still overlapping
+    still = jax.vmap(sat_active)(va + out.penetration[:, None, :] * 0.98, vb)
+    deep = act & (np.asarray(jnp.linalg.norm(out.penetration, axis=-1)) > 1e-3)
+    assert np.asarray(still)[deep].mean() > 0.999
+    # minimality against 20 alternative directions (reference heavy oracle,
+    # test_collisions.py:104-121): no direction allows a shorter resolution
+    depths = np.asarray(jnp.linalg.norm(out.penetration, axis=-1))
+    angs = jnp.linspace(0, 2 * jnp.pi, 20, endpoint=False)
+    dirs = jnp.stack([jnp.cos(angs), jnp.sin(angs)], axis=-1)  # [20, 2]
+    sub = np.nonzero(deep)[0][:200]
+    for d in dirs:
+        shift = d[None, None, :] * (depths[sub, None, None] * 0.95)
+        still2 = jax.vmap(sat_active)(va[sub] + shift, vb[sub])
+        assert np.asarray(still2).mean() > 0.999
+
+
+def test_polygon_polygon_contact_point_near_overlap():
+    va = random_polygons(jax.random.PRNGKey(13), N)
+    vb = random_polygons(jax.random.PRNGKey(14), N)
+    em = _poly_edge_mask(5)
+    out = jax.vmap(lambda a, b: contact_polygon_polygon(a, em, b, em))(va, vb)
+    act = np.asarray(out.active)
+    depths = np.asarray(jnp.linalg.norm(out.penetration, axis=-1))
+    # contact point within max(depth, tol) of both polygons
+    in_a = jax.vmap(lambda v, p: contains_polygon(v, em, p))(va, out.point)
+    in_b = jax.vmap(lambda v, p: contains_polygon(v, em, p))(vb, out.point)
+
+    def dist_to_poly(v, p):
+        nxt = jnp.roll(v, -1, axis=0)
+        e = nxt - v
+        t = jnp.clip(jnp.sum((p - v) * e, -1) / jnp.maximum(jnp.sum(e * e, -1), 1e-12), 0, 1)
+        proj = v + t[:, None] * e
+        return jnp.min(jnp.linalg.norm(p - proj, axis=-1))
+
+    da = np.asarray(jax.vmap(dist_to_poly)(va, out.point))
+    db = np.asarray(jax.vmap(dist_to_poly)(vb, out.point))
+    tol = np.maximum(depths, 1e-2) + 1e-2
+    ok_a = np.asarray(in_a) | (da <= tol)
+    ok_b = np.asarray(in_b) | (db <= tol)
+    assert (ok_a & ok_b)[act].mean() > 0.98
+
+
+def test_circle_polygon_invariants():
+    vp = random_polygons(jax.random.PRNGKey(15), N)
+    c = jax.random.uniform(jax.random.PRNGKey(16), (N, 2), minval=-3, maxval=3)
+    r = jax.random.uniform(jax.random.PRNGKey(17), (N,), minval=0.1, maxval=1.0)
+    em = _poly_edge_mask(5)
+    out = jax.vmap(lambda cc, rr, v: contact_circle_polygon(cc, rr, v, em))(c, r, vp)
+    # ground truth via distance from center to polygon
+    def dist_or_inside(cc, v):
+        nxt = jnp.roll(v, -1, axis=0)
+        e = nxt - v
+        t = jnp.clip(jnp.sum((cc - v) * e, -1) / jnp.maximum(jnp.sum(e * e, -1), 1e-12), 0, 1)
+        proj = v + t[:, None] * e
+        d = jnp.min(jnp.linalg.norm(cc - proj, axis=-1))
+        inside = contains_polygon(v, em, cc)
+        return jnp.where(inside, -d, d)
+
+    sd = np.asarray(jax.vmap(dist_or_inside)(c, vp))
+    want = sd <= np.asarray(r) + 1e-6
+    got = np.asarray(out.active)
+    assert (got == want).mean() > 0.999
+    # depth == r - signed distance
+    depth = np.asarray(jnp.linalg.norm(out.penetration, axis=-1))
+    want_depth = np.asarray(r) - sd
+    assert np.allclose(depth[got], want_depth[got], atol=1e-3)
+    # resolution
+    out2 = jax.vmap(lambda cc, rr, v: contact_circle_polygon(cc, rr, v, em))(
+        c + out.penetration * 1.001, r, vp
+    )
+    sd2 = np.asarray(jax.vmap(dist_or_inside)(c + out.penetration * 1.001, vp))
+    assert (sd2[got] >= np.asarray(r)[got] - 1e-3).mean() > 0.995
+
+
+def test_box_polygon_agrees_with_gjk():
+    lb, ub = random_boxes(jax.random.PRNGKey(18), N)
+    vp = random_polygons(jax.random.PRNGKey(19), N)
+    em = _poly_edge_mask(5)
+    out = jax.vmap(lambda l, u, v: contact_box_polygon(l, u, v, em))(lb, ub, vp)
+    res = jax.vmap(
+        lambda l, u, v: gjk(sup_box, (l, u), sup_poly, v)
+    )(lb, ub, vp)
+    assert (np.asarray(out.active) == np.asarray(res.colliding)).mean() > 0.99
+    # resolution invariant via box shift
+    act = np.asarray(out.active)
+    out2 = jax.vmap(lambda l, u, v: contact_box_polygon(l, u, v, em))(
+        lb + out.penetration * 1.001, ub + out.penetration * 1.001, vp
+    )
+    assert (~np.asarray(out2.active)[act]).mean() > 0.995
+
+
+# ---------------------------------------------------------------------------
+# GJK/EPA on polygons, differentiability
+# ---------------------------------------------------------------------------
+
+
+def test_epa_polygon_close_to_sat_mtv():
+    va = random_polygons(jax.random.PRNGKey(20), 300)
+    vb = va + jnp.array([0.3, 0.1])  # guaranteed deep overlap with itself
+    em = _poly_edge_mask(5)
+
+    def one(a, b):
+        res = gjk(sup_poly, a, sup_poly, b)
+        pen = epa(sup_poly, a, sup_poly, b, res.simplex, 48)
+        sat = contact_polygon_polygon(a, em, b, em)
+        return res.colliding, pen, sat.penetration
+
+    col, pen_epa, pen_sat = jax.vmap(one)(va, vb)
+    col = np.asarray(col)
+    assert col.mean() > 0.95
+    d_epa = np.linalg.norm(np.asarray(pen_epa), axis=-1)
+    d_sat = np.linalg.norm(np.asarray(pen_sat), axis=-1)
+    rel = np.abs(d_epa - d_sat) / np.maximum(d_sat, 1e-6)
+    assert (rel[col] < 0.05).mean() > 0.9
+
+
+def test_gradients_flow_through_sat_contact():
+    em = _poly_edge_mask(5)
+    va = random_polygons(jax.random.PRNGKey(21), 1)[0]
+    vb = np.asarray(va) + np.array([0.3, 0.0], np.float32)
+
+    def depth(shift):
+        out = contact_polygon_polygon(va + shift, em, jnp.asarray(vb), em)
+        return jnp.linalg.norm(out.penetration)
+
+    g = jax.grad(depth)(jnp.zeros(2))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.linalg.norm(np.asarray(g)) > 1e-3
+
+
+def test_gradients_flow_through_gjk_epa():
+    def depth(db):
+        geom_a = (jnp.zeros(2), jnp.array(1.0))
+        geom_b = (jnp.array([1.0, 0.0]) + db, jnp.array(0.8))
+        res = gjk(sup_circle, geom_a, sup_circle, geom_b)
+        pen = epa(sup_circle, geom_a, sup_circle, geom_b, res.simplex, 24)
+        return jnp.linalg.norm(pen)
+
+    g = jax.grad(depth)(jnp.zeros(2))
+    assert np.all(np.isfinite(np.asarray(g)))
+    # moving B along +x reduces overlap -> d(depth)/d(bx) < 0
+    assert np.asarray(g)[0] < 0
