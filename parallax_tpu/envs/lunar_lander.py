@@ -290,7 +290,7 @@ class LunarLander(Environment):
 
     def step_fn(self, state: LanderState, action):
         cfg = self.config
-        action = jnp.asarray(action, jnp.float32)
+        action = jnp.asarray(action, jnp.float32).reshape(2)  # [main, side]
         main = jnp.clip(action[0], 0.0, 1.0)
         side = jnp.clip(action[1], -1.0, 1.0)
 

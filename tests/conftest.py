@@ -2,14 +2,15 @@
 
 Multi-chip TPU hardware is not available in CI; sharding tests run on
 ``xla_force_host_platform_device_count=8`` CPU devices instead, which
-exercises the same mesh/collective code paths.  Must run before jax import.
+exercises the same mesh/collective code paths.
+
+NOTE: the axon TPU plugin's sitecustomize imports jax at interpreter
+startup, so setting JAX_PLATFORMS via os.environ here is too late — the
+platform must be overridden through jax.config instead.
 """
 
 import os
 
-# Disable the axon TPU plugin and use 8 virtual CPU devices.
-os.environ["PALLAS_AXON_POOL_IPS"] = ""
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 jax.config.update("jax_compilation_cache_dir", "/tmp/parallax_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
+assert len(jax.devices()) == 8, jax.devices()
