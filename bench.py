@@ -33,7 +33,7 @@ def main():
     @jax.jit
     def run(states, actions):
         def f(s, _):
-            s, ts = jax.vmap(env.step)(s, actions)
+            s, ts = env.step_batch(s, actions)
             return s, None
 
         return jax.lax.scan(f, states, None, length=inner)[0]

@@ -1,0 +1,809 @@
+"""Batch-native (batch-minor) physics step — the TPU fast path.
+
+The per-world step under ``jax.vmap`` puts the world batch in the LEADING
+axis, leaving tiny geometry dims (vertices=8, coords=2) minor.  TPU tiles
+pad the two minor dims to (8, 128), so every vector op runs at ~1.6% lane
+utilization and tiny argmin/gathers lower to serialized dynamic slices —
+measured 64 ms per batched LunarLander step at B=8192 (≈0.2% of VPU peak).
+
+This module re-expresses the whole step with the batch axis MINOR:
+
+* body state      -> per-component [n, B] planes
+* world vertices  -> [G, V, B] x/y planes per pair group
+* contact lanes   -> [C, B] planes
+* all argmin/argmax/gather over small axes -> static Python loops with
+  running where-selects (no dynamic slicing, no cross-lane reductions)
+
+Every array then tiles as (small, B) = full (8, 128) utilization, XLA fuses
+the static loops into wide VPU kernels, and the same SAT overlap drops to
+0.7 ms.  Results are numerically identical to the vmapped reference path
+(same formulas, same select semantics) up to f32 reassociation.
+
+Public entry: :func:`step_batched` — drop-in batched equivalent of
+``jax.vmap(world.step)`` for the solver mode "block".
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parallax_tpu.dynamics.bodies import BodyState
+from parallax_tpu.dynamics.impulses import ContactSolverConfig
+from parallax_tpu.engine.collider import MANIFOLD_KERNELS
+from parallax_tpu.geometry.shapes import BOX, CIRCLE, POLYGON, edge_mask_for
+
+INF = jnp.inf
+
+
+class ContactsBM(NamedTuple):
+    """Batch-minor contact buffer: all fields [C, B]."""
+
+    pen_x: jnp.ndarray
+    pen_y: jnp.ndarray
+    pt_x: jnp.ndarray
+    pt_y: jnp.ndarray
+    active: jnp.ndarray
+    weight: jnp.ndarray
+
+
+class _SoA(NamedTuple):
+    """Batch-minor body state: all fields [n, B]."""
+
+    px: jnp.ndarray
+    py: jnp.ndarray
+    vx: jnp.ndarray
+    vy: jnp.ndarray
+    angle: jnp.ndarray
+    omega: jnp.ndarray
+
+
+def _to_soa(state: BodyState) -> _SoA:
+    t = lambda x: jnp.swapaxes(x, 0, 1)  # [B, n] -> [n, B]
+    return _SoA(
+        px=t(state.pos[..., 0]),
+        py=t(state.pos[..., 1]),
+        vx=t(state.vel[..., 0]),
+        vy=t(state.vel[..., 1]),
+        angle=t(state.angle),
+        omega=t(state.omega),
+    )
+
+
+def _from_soa(s: _SoA) -> BodyState:
+    t = lambda x: jnp.swapaxes(x, 0, 1)
+    return BodyState(
+        pos=jnp.stack([t(s.px), t(s.py)], axis=-1),
+        vel=jnp.stack([t(s.vx), t(s.vy)], axis=-1),
+        angle=t(s.angle),
+        omega=t(s.omega),
+    )
+
+
+def _rsqrt_safe(x):
+    return jax.lax.rsqrt(jnp.where(x <= 0, 1.0, x))
+
+
+def _side_verts(world, s: _SoA, part_idx, override_verts=None):
+    """World-frame x/y vertex planes [G, V, B] for the given parts.
+
+    ``override_verts`` replaces the world's local vertices (e.g. per-world
+    terrain): [B?, G, V, 2] — either shared [G, V, 2] or per-world
+    batch-minor planes ([G, V, B] x/y tuple).
+    """
+    body_of = np.asarray(world.parts.body)[part_idx]  # [G]
+    kinds = [world.parts.kind[i] for i in part_idx]
+    c = jnp.cos(s.angle)[body_of][:, None, :]  # [G, 1, B]
+    sn = jnp.sin(s.angle)[body_of][:, None, :]
+    px = s.px[body_of][:, None, :]
+    py = s.py[body_of][:, None, :]
+
+    if override_verts is None:
+        lv = world.parts.verts[np.asarray(part_idx)]  # [G, V, 2]
+        lx = lv[..., 0][:, :, None]  # [G, V, 1]
+        ly = lv[..., 1][:, :, None]
+    else:
+        lx, ly = override_verts  # [G, V, B]
+
+    rotate = np.asarray([k == POLYGON or k == CIRCLE for k in kinds])[:, None, None]
+    wx = jnp.where(rotate, c * lx - sn * ly, lx) + px
+    wy = jnp.where(rotate, sn * lx + c * ly, ly) + py
+    return wx, wy
+
+
+# ---------------------------------------------------------------------------
+# batch-minor polygon-polygon manifold (SAT + reference-face clip)
+# ---------------------------------------------------------------------------
+
+
+def _edge_axes(wx, wy, em):
+    """Unit outward edge normals: (nx, ny [G, V, B], ok [G, V, B])."""
+    ex = jnp.roll(wx, -1, axis=1) - wx
+    ey = jnp.roll(wy, -1, axis=1) - wy
+    nx, ny = ey, -ex
+    ln2 = nx * nx + ny * ny
+    inv = _rsqrt_safe(ln2)
+    ok = em[:, :, None] & (ln2 > 0)
+    return nx * inv, ny * inv, ok
+
+
+def _minmax_proj(nx, ny, wx, wy, V):
+    """min/max over vertices of projections onto each axis: [G, A, B]."""
+    mn = mx = None
+    for v in range(V):
+        p = nx * wx[:, v : v + 1, :] + ny * wy[:, v : v + 1, :]
+        mn = p if mn is None else jnp.minimum(mn, p)
+        mx = p if mx is None else jnp.maximum(mx, p)
+    return mn, mx
+
+
+def _pp_manifold_bm(ax, ay, ema, bx, by, emb):
+    """Batch-minor twin of contact_polygon_polygon_manifold.
+
+    Inputs [G, V, B] vertex planes + [G, V] static masks.  Returns per-pair
+    2-lane manifold planes: pen/pt [G, 2, B] x/y, active/weight [G, 2, B].
+    """
+    G, V, B = ax.shape
+    ema_j = jnp.asarray(ema)
+    emb_j = jnp.asarray(emb)
+    nax, nay, aok = _edge_axes(ax, ay, ema_j)
+    nbx, nby, bok = _edge_axes(bx, by, emb_j)
+    NX = jnp.concatenate([nax, nbx], axis=1)  # [G, 2V, B]
+    NY = jnp.concatenate([nay, nby], axis=1)
+    OK = jnp.concatenate([aok, bok], axis=1)
+
+    mna, mxa = _minmax_proj(NX, NY, ax, ay, V)
+    mnb, mxb = _minmax_proj(NX, NY, bx, by, V)
+    o_pos = mxb - mna  # push A along +axis
+    o_neg = mxa - mnb  # push A along -axis
+    ovl = jnp.where(OK, jnp.minimum(o_pos, o_neg), INF)
+
+    # best axis via running select (no argmin/gather)
+    best = jnp.full((G, B), INF)
+    bx_ax = jnp.zeros((G, B))
+    by_ax = jnp.zeros((G, B))
+    bsign = jnp.ones((G, B))
+    for a in range(2 * V):
+        o = ovl[:, a, :]
+        take = o < best
+        best = jnp.where(take, o, best)
+        bx_ax = jnp.where(take, NX[:, a, :], bx_ax)
+        by_ax = jnp.where(take, NY[:, a, :], by_ax)
+        bsign = jnp.where(
+            take, jnp.where(o_pos[:, a, :] <= o_neg[:, a, :], 1.0, -1.0), bsign
+        )
+    active = best >= 0
+    depth = jnp.maximum(best, 0.0)
+    n_x = bx_ax * bsign  # MTV direction B -> A
+    n_y = by_ax * bsign
+
+    # ---- reference face: best-aligned outward normal per polygon --------
+    def best_edge(nx_, ny_, ok_, wx_, wy_, dx, dy):
+        """argmax over edges of dot(normal, (dx,dy)) -> endpoints + score."""
+        bestv = jnp.full((G, B), -INF)
+        r0x = r0y = r1x = r1y = jnp.zeros((G, B))
+        wnx = jnp.roll(wx_, -1, axis=1)
+        wny = jnp.roll(wy_, -1, axis=1)
+        for v in range(V):
+            al = nx_[:, v, :] * dx + ny_[:, v, :] * dy
+            al = jnp.where(ok_[:, v, :], al, -INF)
+            take = al > bestv
+            bestv = jnp.where(take, al, bestv)
+            r0x = jnp.where(take, wx_[:, v, :], r0x)
+            r0y = jnp.where(take, wy_[:, v, :], r0y)
+            r1x = jnp.where(take, wnx[:, v, :], r1x)
+            r1y = jnp.where(take, wny[:, v, :], r1y)
+        return bestv, r0x, r0y, r1x, r1y
+
+    al_a, ar0x, ar0y, ar1x, ar1y = best_edge(nax, nay, aok, ax, ay, -n_x, -n_y)
+    al_b, br0x, br0y, br1x, br1y = best_edge(nbx, nby, bok, bx, by, n_x, n_y)
+    ref_is_a = al_a >= al_b
+    r0x = jnp.where(ref_is_a, ar0x, br0x)
+    r0y = jnp.where(ref_is_a, ar0y, br0y)
+    r1x = jnp.where(ref_is_a, ar1x, br1x)
+    r1y = jnp.where(ref_is_a, ar1y, br1y)
+    nrefx = jnp.where(ref_is_a, -n_x, n_x)
+    nrefy = jnp.where(ref_is_a, -n_y, n_y)
+
+    # incident edge on the other polygon: most anti-parallel to n_ref,
+    # i.e. min dot(normal, n_ref) == max dot(normal, -n_ref).
+    # incident-on-A is used when B owns the reference (n_ref = +n_ba) and
+    # vice versa.
+    _, ia0x, ia0y, ia1x, ia1y = best_edge(nax, nay, aok, ax, ay, -n_x, -n_y)
+    _, ib0x, ib0y, ib1x, ib1y = best_edge(nbx, nby, bok, bx, by, n_x, n_y)
+    i0x = jnp.where(ref_is_a, ib0x, ia0x)
+    i0y = jnp.where(ref_is_a, ib0y, ia0y)
+    i1x = jnp.where(ref_is_a, ib1x, ia1x)
+    i1y = jnp.where(ref_is_a, ib1y, ia1y)
+
+    # clip against the reference face's side planes
+    tx, ty = r1x - r0x, r1y - r0y
+    tl = _rsqrt_safe(tx * tx + ty * ty)
+    tx, ty = tx * tl, ty * tl
+
+    def clip(p0x, p0y, p1x, p1y, anx, any_, dx, dy):
+        d0 = (p0x - anx) * dx + (p0y - any_) * dy
+        d1 = (p1x - anx) * dx + (p1y - any_) * dy
+        denom = d0 - d1
+        frac = d0 / jnp.where(denom == 0, 1.0, denom)
+        inx = p0x + frac * (p1x - p0x)
+        iny = p0y + frac * (p1y - p0y)
+        q0x = jnp.where((d0 < 0) & (d1 >= 0), inx, p0x)
+        q0y = jnp.where((d0 < 0) & (d1 >= 0), iny, p0y)
+        q1x = jnp.where((d1 < 0) & (d0 >= 0), inx, p1x)
+        q1y = jnp.where((d1 < 0) & (d0 >= 0), iny, p1y)
+        return q0x, q0y, q1x, q1y
+
+    c0x, c0y, c1x, c1y = clip(i0x, i0y, i1x, i1y, r0x, r0y, tx, ty)
+    c0x, c0y, c1x, c1y = clip(c0x, c0y, c1x, c1y, r1x, r1y, -tx, -ty)
+
+    d0 = -((c0x - r0x) * nrefx + (c0y - r0y) * nrefy)
+    d1 = -((c1x - r0x) * nrefx + (c1y - r0y) * nrefy)
+
+    keep_tol = jnp.maximum(depth, 1e-4)
+    k0 = d0 >= -keep_tol
+    k1 = d1 >= -keep_tol
+    wsum = k0.astype(ax.dtype) + k1.astype(ax.dtype)
+    none_kept = wsum == 0
+    safe_wsum = jnp.where(none_kept, 1.0, wsum)
+    w0 = jnp.where(none_kept, 1.0, k0.astype(ax.dtype) / safe_wsum)
+    w1 = jnp.where(none_kept, 0.0, k1.astype(ax.dtype) / safe_wsum)
+    a0 = active & jnp.where(none_kept, True, k0)
+    a1 = active & jnp.where(none_kept, False, k1)
+    ld0 = jnp.where(none_kept, depth, jnp.clip(d0, 1e-6, None))
+    ld1 = jnp.where(none_kept, depth, jnp.clip(d1, 1e-6, None))
+
+    pen_x = jnp.stack([n_x * ld0 * a0, n_x * ld1 * a1], axis=1)  # [G, 2, B]
+    pen_y = jnp.stack([n_y * ld0 * a0, n_y * ld1 * a1], axis=1)
+    pt_x = jnp.stack([c0x, c1x], axis=1)
+    pt_y = jnp.stack([c0y, c1y], axis=1)
+    act = jnp.stack([a0, a1], axis=1)
+    wgt = jnp.stack([w0, w1], axis=1)
+    return pen_x, pen_y, pt_x, pt_y, act, wgt
+
+
+# ---------------------------------------------------------------------------
+# batch-minor analytic kernels (circle/box families) — all [G, B] planes
+# ---------------------------------------------------------------------------
+
+
+def _cc_bm(cax, cay, ra, cbx, cby, rb):
+    dx, dy = cax - cbx, cay - cby
+    d2 = dx * dx + dy * dy
+    inv = _rsqrt_safe(d2)
+    dist = d2 * inv  # |d|  (0 when coincident)
+    ux = jnp.where(d2 == 0, 1.0, dx * inv)
+    uy = jnp.where(d2 == 0, 0.0, dy * inv)
+    rsum = ra + rb
+    depth = jnp.maximum(rsum - dist, 0.0)
+    active = dist <= rsum
+    pen_x, pen_y = ux * depth, uy * depth
+    ptx = (cbx + ux * (rb - ra) + cax) / 2
+    pty = (cby + uy * (rb - ra) + cay) / 2
+    same_side = (cax - ptx) * (cbx - ptx) + (cay - pty) * (cby - pty) > 0
+    b_in_a = (cbx - cax) ** 2 + (cby - cay) ** 2 <= (ra + 1e-6) ** 2
+    fx = jnp.where(b_in_a, cbx, cax)
+    fy = jnp.where(b_in_a, cby, cay)
+    ptx = jnp.where(same_side, fx, ptx)
+    pty = jnp.where(same_side, fy, pty)
+    return pen_x * active, pen_y * active, ptx, pty, active
+
+
+def _cb_bm(cx, cy, r, lbx, lby, ubx, uby, eps=1e-6):
+    ccx = jnp.clip(cx, lbx, ubx)
+    ccy = jnp.clip(cy, lby, uby)
+    # perfect-vertex test: closest point is (numerically) a corner
+    at_x = (jnp.abs(ccx - lbx) < eps) | (jnp.abs(ccx - ubx) < eps)
+    at_y = (jnp.abs(ccy - lby) < eps) | (jnp.abs(ccy - uby) < eps)
+    perfect_vertex = at_x & at_y
+    dvx, dvy = ccx - cx, ccy - cy
+    dd = dvx * dvx + dvy * dvy
+    inv = _rsqrt_safe(dd)
+    uvx = jnp.where(dd == 0, 1.0, dvx * inv)
+    uvy = jnp.where(dd == 0, 0.0, dvy * inv)
+    pvx = -(cx + r * uvx - ccx)
+    pvy = -(cy + r * uvy - ccy)
+    # face case: best single-axis shift
+    s0 = cy + r - lby
+    s1 = uby - (cy - r)
+    s2 = cx + r - lbx
+    s3 = ubx - (cx - r)
+    best = jnp.minimum(jnp.minimum(s0, s1), jnp.minimum(s2, s3))
+    # tie order must match argmin([s0, s1, s2, s3]): earliest wins
+    is0 = best == s0
+    is1 = (~is0) & (best == s1)
+    is2 = (~is0) & (~is1) & (best == s2)
+    is3 = (~is0) & (~is1) & (~is2)
+    pfx = jnp.where(is2, -s2, jnp.where(is3, s3, 0.0))
+    pfy = jnp.where(is0, -s0, jnp.where(is1, s1, 0.0))
+    pen_x = jnp.where(perfect_vertex, pvx, pfx)
+    pen_y = jnp.where(perfect_vertex, pvy, pfy)
+    active = (cx - ccx) ** 2 + (cy - ccy) ** 2 <= (r + eps) ** 2
+    return pen_x * active, pen_y * active, ccx, ccy, active
+
+
+def _bb_bm(lax_, lay, uax, uay, lbx, lby, ubx, uby, eps=1e-8):
+    separated = (uay <= lby) | (lay >= uby) | (uax <= lbx) | (lax_ >= ubx)
+    d0 = jnp.maximum(uay - lby, -eps)
+    d1 = jnp.maximum(uby - lay, -eps)
+    d2 = jnp.maximum(uax - lbx, -eps)
+    d3 = jnp.maximum(ubx - lax_, -eps)
+    best = jnp.minimum(jnp.minimum(d0, d1), jnp.minimum(d2, d3))
+    is0 = best == d0
+    is1 = (~is0) & (best == d1)
+    is2 = (~is0) & (~is1) & (best == d2)
+    is3 = (~is0) & (~is1) & (~is2)
+    m = jnp.clip(best, 0.0, None)
+    pen_x = jnp.where(is2, -m, jnp.where(is3, m, 0.0))
+    pen_y = jnp.where(is0, -m, jnp.where(is1, m, 0.0))
+    ptx = (jnp.minimum(uax, ubx) + jnp.maximum(lax_, lbx)) / 2
+    pty = (jnp.minimum(uay, uby) + jnp.maximum(lay, lby)) / 2
+    active = ~separated
+    return pen_x * active, pen_y * active, ptx, pty, active
+
+
+def _cp_bm(cx, cy, r, vx, vy, em):
+    """Batch-minor analytic circle-polygon; [G, V, B] polygon planes."""
+    G, V, B = vx.shape
+    em_j = jnp.asarray(em)
+    nx_e = jnp.roll(vx, -1, axis=1) - vx
+    ny_e = jnp.roll(vy, -1, axis=1) - vy
+    el2 = nx_e * nx_e + ny_e * ny_e
+    inv_el2 = 1.0 / jnp.where(el2 == 0, 1.0, el2)
+    # per-edge closest point to the center
+    tx = ((cx[:, None, :] - vx) * nx_e + (cy[:, None, :] - vy) * ny_e) * inv_el2
+    tx = jnp.clip(tx, 0.0, 1.0)
+    prx = vx + tx * nx_e
+    pry = vy + tx * ny_e
+    dx = cx[:, None, :] - prx
+    dy = cy[:, None, :] - pry
+    d2 = dx * dx + dy * dy
+    d2 = jnp.where(em_j[:, :, None], d2, INF)
+    # nearest edge (running select)
+    best = jnp.full((G, B), INF)
+    bpx = bpy = jnp.zeros((G, B))
+    for v in range(V):
+        take = d2[:, v, :] < best
+        best = jnp.where(take, d2[:, v, :], best)
+        bpx = jnp.where(take, prx[:, v, :], bpx)
+        bpy = jnp.where(take, pry[:, v, :], bpy)
+    inv_d = _rsqrt_safe(best)
+    dist = best * inv_d
+    # outward normals (CCW ordering)
+    onx = ny_e * _rsqrt_safe(el2)
+    ony = -nx_e * _rsqrt_safe(el2)
+    signed = (cx[:, None, :] - vx) * onx + (cy[:, None, :] - vy) * ony
+    signed = jnp.where(em_j[:, :, None], signed, -INF)
+    # containment: all real-edge signed distances <= 0 (or all >= 0)
+    sgn_pos = jnp.all(jnp.where(em_j[:, :, None], signed >= 0, True), axis=1)
+    sgn_neg = jnp.all(jnp.where(em_j[:, :, None], signed <= 0, True), axis=1)
+    inside = sgn_pos | sgn_neg
+    # deepest (max) signed edge for the inside case
+    bs = jnp.full((G, B), -INF)
+    bnx = bny = jnp.zeros((G, B))
+    for v in range(V):
+        take = signed[:, v, :] > bs
+        bs = jnp.where(take, signed[:, v, :], bs)
+        bnx = jnp.where(take, onx[:, v, :], bnx)
+        bny = jnp.where(take, ony[:, v, :], bny)
+
+    ox = (cx - bpx) * inv_d
+    oy = (cy - bpy) * inv_d
+    ox = jnp.where(best == 0, 1.0, ox)
+    oy = jnp.where(best == 0, 0.0, oy)
+    pen_out_x = ox * (r - dist)
+    pen_out_y = oy * (r - dist)
+    pen_in_x = bnx * (r - bs)
+    pen_in_y = bny * (r - bs)
+    pen_x = jnp.where(inside, pen_in_x, pen_out_x)
+    pen_y = jnp.where(inside, pen_in_y, pen_out_y)
+    ptx = jnp.where(inside, cx, bpx)
+    pty = jnp.where(inside, cy, bpy)
+    active = inside | (dist <= r)
+    return pen_x * active, pen_y * active, ptx, pty, active
+
+
+def _area_cb_bm(cx, cy, r, lbx, lby, ubx, uby):
+    over_hx = jnp.maximum(cx + r - ubx, 0.0)
+    over_hy = jnp.maximum(cy + r - uby, 0.0)
+    over_lx = jnp.maximum(lbx - (cx - r), 0.0)
+    over_ly = jnp.maximum(lby - (cy - r), 0.0)
+    pen_x = -over_hx + over_lx
+    pen_y = -over_hy + over_ly
+    depth = jnp.maximum(jnp.maximum(over_hx, over_hy), jnp.maximum(over_lx, over_ly))
+    active = depth > 0
+    # deepest wall surface point
+    dhx = cx + r - ubx
+    dhy = cy + r - uby
+    dlx = lbx - (cx - r)
+    dly = lby - (cy - r)
+    best = jnp.maximum(jnp.maximum(dhx, dhy), jnp.maximum(dlx, dly))
+    is_hx = best == dhx
+    is_hy = (~is_hx) & (best == dhy)
+    is_lx = (~is_hx) & (~is_hy) & (best == dlx)
+    ptx = jnp.where(is_hx, cx + r, jnp.where(is_hy, cx, jnp.where(is_lx, cx - r, cx)))
+    pty = jnp.where(is_hx, cy, jnp.where(is_hy, cy + r, jnp.where(is_lx, cy, cy - r)))
+    return pen_x * active, pen_y * active, ptx, pty, active
+
+
+# ---------------------------------------------------------------------------
+# batched collide over the pair table
+# ---------------------------------------------------------------------------
+
+
+def collide_batched(world, s: _SoA, terrain_override=None) -> ContactsBM:
+    """All pair-group kernels in batch-minor layout -> flat [C, B] lanes.
+
+    ``terrain_override``: optional dict {part_index: ([V, B] x, [V, B] y)}
+    world-frame overrides for per-world geometry (LunarLander terrain).
+    """
+    B = s.px.shape[-1]
+    V = world.parts.max_verts
+    pieces = []
+
+    def side(idx):
+        if terrain_override and any(i in terrain_override for i in idx):
+            # build override planes for the whole side
+            lx = []
+            ly = []
+            for i in idx:
+                if i in terrain_override:
+                    ox, oy = terrain_override[i]
+                    lx.append(ox)
+                    ly.append(oy)
+                else:
+                    lv = world.parts.verts[i]
+                    lx.append(jnp.broadcast_to(lv[:, 0:1], (V, B)))
+                    ly.append(jnp.broadcast_to(lv[:, 1:2], (V, B)))
+            # overrides are world-frame already (static bodies): add nothing
+            return jnp.stack(lx), jnp.stack(ly)
+        return _side_verts(world, s, np.asarray(idx))
+
+    for g in world.table.groups:
+        ia = list(g.part_a)
+        ib = list(g.part_b)
+        Gn = len(ia)
+        ema = np.stack([edge_mask_for(world.parts.nverts[i], V) for i in ia])
+        emb = np.stack([edge_mask_for(world.parts.nverts[i], V) for i in ib])
+        axv, ayv = side(ia)
+        bxv, byv = side(ib)
+        ra = world.parts.radius[np.asarray(ia)][:, None]  # [G, 1]
+        rb = world.parts.radius[np.asarray(ib)][:, None]
+
+        if g.kernel == "pp":
+            px, py, qx, qy, act, wgt = _pp_manifold_bm(axv, ayv, ema, bxv, byv, emb)
+            pieces.append(
+                (px.reshape(2 * Gn, B), py.reshape(2 * Gn, B),
+                 qx.reshape(2 * Gn, B), qy.reshape(2 * Gn, B),
+                 act.reshape(2 * Gn, B), wgt.reshape(2 * Gn, B))
+            )
+            continue
+        if g.kernel == "bp":
+            # box as 4-corner polygon planes (CCW)
+            lbx, lby = axv[:, 0, :], ayv[:, 0, :]
+            ubx, uby = axv[:, 1, :], ayv[:, 1, :]
+            cx4 = jnp.stack([lbx, ubx, ubx, lbx], axis=1)
+            cy4 = jnp.stack([lby, lby, uby, uby], axis=1)
+            pad = V - 4
+            if pad:
+                cx4 = jnp.concatenate([cx4] + [cx4[:, 3:4]] * pad, axis=1)
+                cy4 = jnp.concatenate([cy4] + [cy4[:, 3:4]] * pad, axis=1)
+            em4 = np.stack([edge_mask_for(4, V)] * Gn)
+            px, py, qx, qy, act, wgt = _pp_manifold_bm(cx4, cy4, em4, bxv, byv, emb)
+            pieces.append(
+                (px.reshape(2 * Gn, B), py.reshape(2 * Gn, B),
+                 qx.reshape(2 * Gn, B), qy.reshape(2 * Gn, B),
+                 act.reshape(2 * Gn, B), wgt.reshape(2 * Gn, B))
+            )
+            continue
+
+        if g.kernel == "cc":
+            px, py, qx, qy, act = _cc_bm(
+                axv[:, 0, :], ayv[:, 0, :], ra, bxv[:, 0, :], byv[:, 0, :], rb
+            )
+        elif g.kernel == "cb":
+            px, py, qx, qy, act = _cb_bm(
+                axv[:, 0, :], ayv[:, 0, :], ra,
+                bxv[:, 0, :], byv[:, 0, :], bxv[:, 1, :], byv[:, 1, :],
+            )
+        elif g.kernel == "bb":
+            px, py, qx, qy, act = _bb_bm(
+                axv[:, 0, :], ayv[:, 0, :], axv[:, 1, :], ayv[:, 1, :],
+                bxv[:, 0, :], byv[:, 0, :], bxv[:, 1, :], byv[:, 1, :],
+            )
+        elif g.kernel == "cp":
+            px, py, qx, qy, act = _cp_bm(
+                axv[:, 0, :], ayv[:, 0, :], ra, bxv, byv, emb
+            )
+        elif g.kernel == "area_cb":
+            px, py, qx, qy, act = _area_cb_bm(
+                axv[:, 0, :], ayv[:, 0, :], ra,
+                bxv[:, 0, :], byv[:, 0, :], bxv[:, 1, :], byv[:, 1, :],
+            )
+        else:  # pragma: no cover
+            raise ValueError(g.kernel)
+        pieces.append((px, py, qx, qy, act, jnp.ones_like(px)))
+
+    return ContactsBM(
+        pen_x=jnp.concatenate([p[0] for p in pieces], axis=0),
+        pen_y=jnp.concatenate([p[1] for p in pieces], axis=0),
+        pt_x=jnp.concatenate([p[2] for p in pieces], axis=0),
+        pt_y=jnp.concatenate([p[3] for p in pieces], axis=0),
+        active=jnp.concatenate([p[4] for p in pieces], axis=0),
+        weight=jnp.concatenate([p[5] for p in pieces], axis=0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch-minor block solver (same math as dynamics.block_solver)
+# ---------------------------------------------------------------------------
+
+
+def solve_contacts_bm(
+    world,
+    s: _SoA,
+    con: ContactsBM,
+    iterations: int,
+    position_iterations: int,
+    dt: float,
+    config: ContactSolverConfig,
+) -> _SoA:
+    table = world.table
+    C = table.n_contacts
+    if C == 0:
+        return s
+    ia = np.asarray(table.body_a)
+    ib = np.asarray(table.body_b)
+    partner = np.asarray(table.partner)
+    has_p = partner >= 0
+    ip = np.where(has_p, partner, np.arange(C))
+
+    params = world.params
+    im_a = params.inv_mass[ia][:, None]
+    im_b = params.inv_mass[ib][:, None]
+    ii_a = params.inv_inertia[ia][:, None]
+    ii_b = params.inv_inertia[ib][:, None]
+    if config.restitution_mode == "min":
+        e = jnp.minimum(params.elasticity[ia], params.elasticity[ib])[:, None]
+    else:
+        e = ((params.elasticity[ia] + params.elasticity[ib]) / 2)[:, None]
+    mu = ((params.friction[ia] + params.friction[ib]) / 2)[:, None]
+
+    d2 = con.pen_x**2 + con.pen_y**2
+    inv_d = _rsqrt_safe(d2)
+    depth = d2 * inv_d
+    nx = jnp.where(d2 == 0, 0.0, con.pen_x * inv_d)
+    ny = jnp.where(d2 == 0, 0.0, con.pen_y * inv_d)
+    tx, ty = -ny, nx  # tangent
+
+    pax = s.px[ia]
+    pay = s.py[ia]
+    pbx = s.px[ib]
+    pby = s.py[ib]
+    rax = con.pt_x - pax
+    ray = con.pt_y - pay
+    rbx = con.pt_x - pbx
+    rby = con.pt_y - pby
+    ran = rax * ny - ray * nx
+    rbn = rbx * ny - rby * nx
+    rat = rax * ty - ray * tx
+    rbt = rbx * ty - rby * tx
+    k_n = im_a + im_b + ii_a * ran * ran + ii_b * rbn * rbn
+    k_t = im_a + im_b + ii_a * rat * rat + ii_b * rbt * rbt
+    ran_p = ran[ip]
+    rbn_p = rbn[ip]
+    k_np = im_a + im_b + ii_a * ran * ran_p + ii_b * rbn * rbn_p
+    inv_kn = 1.0 / jnp.where(k_n == 0, 1.0, k_n)
+    inv_kt = 1.0 / jnp.where(k_t == 0, 1.0, k_t)
+
+    active = con.active
+
+    def rel_vel(vx, vy, om):
+        vax = vx[ia] - ray * om[ia]
+        vay = vy[ia] + rax * om[ia]
+        vbx = vx[ib] - rby * om[ib]
+        vby = vy[ib] + rbx * om[ib]
+        rx = vbx - vax
+        ry = vby - vay
+        return rx * nx + ry * ny, rx * tx + ry * ty
+
+    v_n0, _ = rel_vel(s.vx, s.vy, s.omega)
+    bias = (
+        config.baumgarte
+        * jnp.maximum(depth - config.baumgarte_slop, 0.0)
+        / config.baumgarte_dt
+    )
+    if config.baumgarte_max_bias is not None:
+        bias = jnp.minimum(bias, config.baumgarte_max_bias)
+    rest = jnp.where(v_n0 > 0, e * jnp.maximum(v_n0, 0.0), 0.0)
+    split = position_iterations > 0
+    target = jnp.where(active, rest if split else rest + bias, 0.0)
+    bias = jnp.where(active, bias, 0.0)
+
+    n = world.n_bodies
+
+    def scatter(dj_n, dj_t, vx, vy, om):
+        jx = dj_n * nx + dj_t * tx
+        jy = dj_n * ny + dj_t * ty
+        dvax = jx * im_a
+        dvay = jy * im_a
+        dwa = (rax * jy - ray * jx) * ii_a
+        dvbx = -jx * im_b
+        dvby = -jy * im_b
+        dwb = -(rbx * jy - rby * jx) * ii_b
+        vx = vx + jax.ops.segment_sum(dvax, ia, n) + jax.ops.segment_sum(dvbx, ib, n)
+        vy = vy + jax.ops.segment_sum(dvay, ia, n) + jax.ops.segment_sum(dvby, ib, n)
+        om = om + jax.ops.segment_sum(dwa, ia, n) + jax.ops.segment_sum(dwb, ib, n)
+        return vx, vy, om
+
+    is_lead = jnp.asarray(has_p & (partner > np.arange(C)))[:, None]
+    has_p_j = jnp.asarray(has_p)[:, None]
+    k_p = k_n[ip]
+    inv_kp = 1.0 / jnp.where(k_p == 0, 1.0, k_p)
+    det = k_n * k_p - k_np * k_np
+    ok_det = jnp.abs(det) >= 1e-12
+    safe_det = jnp.where(ok_det, det, 1.0)
+
+    def normal_pass(vx, vy, om, jn):
+        v_n, _ = rel_vel(vx, vy, om)
+        rhs = v_n + target
+        jn_single = jnp.maximum(jn + rhs * inv_kn, 0.0)
+
+        rhs_p = rhs[ip]
+        jn_p = jn[ip]
+        b0 = k_n * jn + k_np * jn_p + rhs
+        b1 = k_np * jn + k_p * jn_p + rhs_p
+        x0_full = (k_p * b0 - k_np * b1) / safe_det
+        x1_full = (k_n * b1 - k_np * b0) / safe_det
+        ok_full = (x0_full >= 0) & (x1_full >= 0) & ok_det
+        x0_c2 = jnp.maximum(b0 * inv_kn, 0.0)
+        ok_c2 = (k_np * x0_c2 - b1 >= -1e-9)
+        x1_c3 = jnp.maximum(b1 * inv_kp, 0.0)
+        ok_c3 = (k_np * x1_c3 - b0 >= -1e-9)
+        x0 = jnp.where(ok_full, x0_full, jnp.where(ok_c2, x0_c2, 0.0))
+        x1 = jnp.where(ok_full, x1_full, jnp.where(ok_c2, 0.0, jnp.where(ok_c3, x1_c3, 0.0)))
+        jn_block = jnp.where(is_lead, x0, x1[ip])
+        jn_new = jnp.where(has_p_j, jn_block, jn_single)
+        jn_new = jnp.where(active, jn_new, 0.0)
+        vx, vy, om = scatter(jn_new - jn, jnp.zeros_like(jn), vx, vy, om)
+        return vx, vy, om, jn_new
+
+    def friction_pass(vx, vy, om, jn, jt):
+        _, v_t = rel_vel(vx, vy, om)
+        jt_new = jt + v_t * inv_kt
+        lim = mu * jn
+        jt_new = jnp.clip(jt_new, -lim, lim)
+        jt_new = jnp.where(active, jt_new, 0.0)
+        vx, vy, om = scatter(jnp.zeros_like(jt), jt_new - jt, vx, vy, om)
+        return vx, vy, om, jt_new
+
+    vx, vy, om = s.vx, s.vy, s.omega
+    jn = jnp.zeros_like(con.pen_x)
+    jt = jnp.zeros_like(jn)
+    for _ in range(iterations):
+        vx, vy, om, jn = normal_pass(vx, vy, om, jn)
+        vx, vy, om, jt = friction_pass(vx, vy, om, jn, jt)
+    s = s._replace(vx=vx, vy=vy, omega=om)
+
+    if split:
+        pvx = jnp.zeros_like(vx)
+        pvy = jnp.zeros_like(vy)
+        pom = jnp.zeros_like(om)
+        pj = jnp.zeros_like(jn)
+        for _ in range(position_iterations):
+            v_n, _ = rel_vel(pvx, pvy, pom)
+            rhs = v_n + bias
+            pj_new = jnp.where(active, jnp.maximum(pj + rhs * inv_kn, 0.0), 0.0)
+            pvx, pvy, pom = scatter(pj_new - pj, jnp.zeros_like(pj), pvx, pvy, pom)
+            pj = pj_new
+        s = s._replace(
+            px=s.px + pvx * dt, py=s.py + pvy * dt, angle=s.angle + pom * dt
+        )
+    return s
+
+
+# ---------------------------------------------------------------------------
+# batch-minor joints (reference gauss-seidel order, static unroll)
+# ---------------------------------------------------------------------------
+
+
+def apply_joints_bm(world, s: _SoA) -> _SoA:
+    joints = world.joints
+    J = joints.n_joints
+    if J == 0:
+        return s
+    params = world.params
+    vx, vy, om = s.vx, s.vy, s.omega
+    for j in range(J):
+        a = joints.body_a[j]
+        b = joints.body_b[j]
+        ca, sa = jnp.cos(s.angle[a]), jnp.sin(s.angle[a])
+        cb, sb = jnp.cos(s.angle[b]), jnp.sin(s.angle[b])
+        ax_l, ay_l = joints.anchor_a[j, 0], joints.anchor_a[j, 1]
+        bx_l, by_l = joints.anchor_b[j, 0], joints.anchor_b[j, 1]
+        pax = s.px[a] + ca * ax_l - sa * ay_l
+        pay = s.py[a] + sa * ax_l + ca * ay_l
+        pbx = s.px[b] + cb * bx_l - sb * by_l
+        pby = s.py[b] + sb * bx_l + cb * by_l
+        rax, ray = pax - s.px[a], pay - s.py[a]
+        rbx, rby = pbx - s.px[b], pby - s.py[b]
+        vax = vx[a] - ray * om[a]
+        vay = vy[a] + rax * om[a]
+        vbx = vx[b] - rby * om[b]
+        vby = vy[b] + rbx * om[b]
+        dpx, dpy = pax - pbx, pay - pby
+        dvx_, dvy_ = vax - vbx, vay - vby
+        dvn = jnp.sqrt(jnp.maximum(dvx_ * dvx_ + dvy_ * dvy_, 1e-30))
+        kp, kd, v0 = joints.kp[j], joints.kd[j], joints.v0[j]
+        Jx = dpx * kp + dvx_ * (dvn + v0) * kd
+        Jy = dpy * kp + dvy_ * (dvn + v0) * kd
+        im_a, ii_a = params.inv_mass[a], params.inv_inertia[a]
+        im_b, ii_b = params.inv_mass[b], params.inv_inertia[b]
+        vx = vx.at[a].add(-Jx * im_a).at[b].add(Jx * im_b)
+        vy = vy.at[a].add(-Jy * im_a).at[b].add(Jy * im_b)
+        om = om.at[a].add(-(rax * Jy - ray * Jx) * ii_a).at[b].add(
+            (rbx * Jy - rby * Jx) * ii_b
+        )
+    return s._replace(vx=vx, vy=vy, omega=om)
+
+
+# ---------------------------------------------------------------------------
+# the batched step
+# ---------------------------------------------------------------------------
+
+
+def step_batched(
+    world,
+    state: BodyState,
+    dt: Optional[float] = None,
+    accel=None,
+    terrain_override=None,
+) -> tuple[BodyState, ContactsBM]:
+    """Batched world step, batch axis leading in ``state`` ([B, n, ...]).
+
+    Equivalent to ``jax.vmap(lambda s: world.step(s))`` for solver_mode
+    "block" / narrowphase "sat", restructured batch-minor for TPU.
+    Returns (state, ContactsBM [C, B]).
+    """
+    cfg = world.config
+    dt = cfg.dt if dt is None else dt
+    gx, gy = cfg.gravity
+    if accel is not None:
+        gx = gx + accel[0]
+        gy = gy + accel[1]
+
+    s = _to_soa(state)
+    mov = jnp.isfinite(world.params.mass).astype(s.vx.dtype)[:, None]
+
+    def integrate(s):
+        return s._replace(
+            px=s.px + s.vx * dt,
+            py=s.py + s.vy * dt,
+            angle=s.angle + s.omega * dt,
+        )
+
+    def grav(s):
+        return s._replace(vx=s.vx + gx * dt * mov, vy=s.vy + gy * dt * mov)
+
+    if cfg.integrator == "symplectic":
+        s = grav(s)
+        s = integrate(s)
+    else:
+        s = integrate(s)
+        s = grav(s)
+
+    con = collide_batched(world, s, terrain_override)
+    s = solve_contacts_bm(
+        world,
+        s,
+        con,
+        iterations=cfg.solver_iterations,
+        position_iterations=cfg.position_iterations,
+        dt=dt,
+        config=cfg.contact,
+    )
+    s = apply_joints_bm(world, s)
+    return _from_soa(s), con

@@ -250,3 +250,54 @@ def evaluate(
         loop_body, ((state, jnp.array(0.0)), jnp.array(False)), None, length=num_nfes
     )
     return final_state, reward
+
+
+# ---------------------------------------------------------------------------
+# Batched stepping (TPU fast path)
+# ---------------------------------------------------------------------------
+
+
+def _all_finite_per_world(tree) -> jnp.ndarray:
+    """[B] bool: every float leaf finite, reduced over non-batch axes."""
+    leaves = [
+        l
+        for l in jax.tree_util.tree_leaves(tree)
+        if jnp.issubdtype(l.dtype, jnp.floating)
+    ]
+    ok = None
+    for l in leaves:
+        r = jnp.all(jnp.isfinite(l), axis=tuple(range(1, l.ndim)))
+        ok = r if ok is None else ok & r
+    return ok
+
+
+class BatchedEnvironmentMixin:
+    """Adds ``reset_batch`` / ``step_batch`` to an Environment.
+
+    ``step_fn_batch(states, actions)`` defaults to ``vmap(step_fn)``;
+    envs override it with a batch-minor implementation
+    (see ``parallax_tpu.engine.batched``) for TPU throughput.
+    """
+
+    def reset_batch(self, keys):
+        return self.reset_fn_batch(keys)
+
+    def reset_fn_batch(self, keys):
+        return jax.vmap(self.reset_fn)(keys)
+
+    def step_fn_batch(self, states, actions):
+        return jax.vmap(self.step_fn)(states, actions)
+
+    def step_batch(self, states, actions):
+        """Batched step + in-graph auto-reset (batched twin of ``step``)."""
+        new_states, ts = self.step_fn_batch(states, actions)
+        bad = ~_all_finite_per_world(new_states)
+        ts = ts.replace(truncated=ts.truncated | bad)
+
+        keys = jax.vmap(jax.random.split)(new_states.key)  # [B, 2, 2]
+        reset_keys, carry_keys = keys[:, 0], keys[:, 1]
+        fresh = self.reset_fn_batch(reset_keys)
+        fresh = fresh.replace(key=carry_keys)
+        kept = new_states.replace(key=carry_keys)
+        out = tree_select(ts.done, fresh, kept)
+        return out, ts

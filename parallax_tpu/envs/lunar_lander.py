@@ -29,7 +29,7 @@ from flax import struct
 from parallax_tpu.dynamics.bodies import BodyState
 from parallax_tpu.dynamics.joints import Joints
 from parallax_tpu.engine.world import BodyDef, World, WorldConfig
-from parallax_tpu.envs.base import Environment, TimeStep
+from parallax_tpu.envs.base import BatchedEnvironmentMixin, Environment, TimeStep
 from parallax_tpu.geometry.math import order_clockwise, rotate, safe_norm
 from parallax_tpu.geometry.shapes import MAX_VERTS, polygon
 
@@ -76,7 +76,7 @@ class LanderConfig:
     fuel_cost_main: float = 0.03
     fuel_cost_side: float = 0.003
     max_steps: int = 1000
-    solver_mode: str = "jacobi"
+    solver_mode: str = "block"
     solver_iterations: int = 4
     leg_omega_damping: float = 0.95  # reference _lunar_lander.py:206-212
     landed_speed: float = 0.08
@@ -139,7 +139,7 @@ def terrain_vertices(key) -> jnp.ndarray:
     return quads[:, pad_idx, :]
 
 
-class LunarLander(Environment):
+class LunarLander(BatchedEnvironmentMixin, Environment):
     def __init__(self, config: LanderConfig = LanderConfig()):
         self.config = config
 
@@ -365,3 +365,112 @@ class LunarLander(Environment):
             },
         )
         return new_state, ts
+
+
+# ---------------------------------------------------------------------------
+# Batched (batch-minor) fast path — see parallax_tpu.engine.batched
+# ---------------------------------------------------------------------------
+
+
+def _lander_step_fn_batch(self, states: LanderState, actions):
+    from parallax_tpu.engine.batched import step_batched
+
+    cfg = self.config
+    B = states.t.shape[0]
+    actions = jnp.asarray(actions, jnp.float32).reshape(B, 2)
+    main = jnp.clip(actions[:, 0], 0.0, 1.0)
+    side = jnp.clip(actions[:, 1], -1.0, 1.0)
+
+    b = states.bodies
+    ang0 = b.angle[:, 0]
+    c0, s0 = jnp.cos(ang0), jnp.sin(ang0)
+    dvx = -s0 * (cfg.main_power * main * cfg.dt) + c0 * (cfg.side_power * side * cfg.dt)
+    dvy = c0 * (cfg.main_power * main * cfg.dt) + s0 * (cfg.side_power * side * cfg.dt)
+    b = b.replace(
+        vel=b.vel.at[:, 0, 0].add(dvx).at[:, 0, 1].add(dvy),
+        omega=b.omega.at[:, 0].add(-cfg.side_torque * side * cfg.dt),
+    )
+
+    # per-world terrain as world-frame batch-minor planes
+    tox = jnp.transpose(states.terrain[..., 0], (1, 2, 0))  # [7, V, B]
+    toy = jnp.transpose(states.terrain[..., 1], (1, 2, 0))
+    override = {p: (tox[i], toy[i]) for i, p in enumerate(self._ground_parts)}
+
+    b, con = step_batched(self.world, b, terrain_override=override)
+    b = b.replace(omega=b.omega * self._omega_damp[None, :])
+
+    act = con.active  # [C, B]
+    left = act[self._left_leg_lanes].any(0) if len(self._left_leg_lanes) else jnp.zeros(B, bool)
+    right = act[self._right_leg_lanes].any(0) if len(self._right_leg_lanes) else jnp.zeros(B, bool)
+    lander_contact = (
+        act[self._lander_ground_lanes].any(0)
+        if len(self._lander_ground_lanes)
+        else jnp.zeros(B, bool)
+    )
+    leg_contacts = jnp.stack([left, right], axis=-1)  # [B, 2]
+
+    new_states = states.replace(bodies=b, t=states.t + 1)
+
+    px, py = b.pos[:, 0, 0], b.pos[:, 0, 1]
+    vx, vy = b.vel[:, 0, 0], b.vel[:, 0, 1]
+    ang, om = b.angle[:, 0], b.omega[:, 0]
+    speed = jnp.sqrt(vx * vx + vy * vy)
+    dist = jnp.sqrt(px * px + (py - (PAD_Y + 1.0)) ** 2)
+    shaping = (
+        -dist - speed - jnp.abs(ang) + 0.3 * leg_contacts.sum(-1).astype(px.dtype)
+    )
+
+    landed = (
+        left & right
+        & (speed < cfg.landed_speed)
+        & (jnp.abs(om) < cfg.landed_omega)
+        & (jnp.abs(ang) < 0.3)
+    )
+    crashed = (
+        lander_contact
+        | (jnp.abs(px) > cfg.out_x)
+        | (py < cfg.out_y)
+        | (jnp.abs(ang) > cfg.crash_tilt)
+    )
+    truncated = new_states.t >= cfg.max_steps
+
+    reward = (
+        shaping
+        - states.prev_shaping
+        - cfg.fuel_cost_main * main
+        - cfg.fuel_cost_side * jnp.abs(side)
+        + jnp.where(landed, cfg.landed_bonus, 0.0)
+        + jnp.where(crashed, cfg.crash_penalty, 0.0)
+    )
+    new_states = new_states.replace(prev_shaping=shaping)
+
+    obs = jnp.stack(
+        [
+            px,
+            py - PAD_Y,
+            vx,
+            vy,
+            jnp.sin(ang),
+            jnp.cos(ang),
+            om,
+            left.astype(px.dtype),
+            right.astype(px.dtype),
+        ],
+        axis=-1,
+    )
+    ts = TimeStep(
+        obs=obs,
+        reward=reward,
+        terminated=landed | crashed,
+        truncated=truncated & ~(landed | crashed),
+        info={
+            "landed": landed,
+            "crashed": crashed,
+            "leg_contacts": leg_contacts,
+            "fuel": main + jnp.abs(side),
+        },
+    )
+    return new_states, ts
+
+
+LunarLander.step_fn_batch = _lander_step_fn_batch

@@ -35,7 +35,7 @@ from flax import struct
 
 from parallax_tpu.dynamics.bodies import BodyState
 from parallax_tpu.engine.world import BodyDef, World, WorldConfig
-from parallax_tpu.envs.base import Environment, TimeStep
+from parallax_tpu.envs.base import BatchedEnvironmentMixin, Environment, TimeStep
 from parallax_tpu.geometry.shapes import box, circle
 
 FIELD_DIM = (10.4, 7.4)
@@ -75,7 +75,7 @@ class RoboCupConfig:
     ball_damping: float = 0.995  # rolling friction per step
     goal_reward: float = 1.0
     shaping_coef: float = 0.01
-    solver_mode: str = "jacobi"
+    solver_mode: str = "block"
     solver_iterations: int = 4
     randomize_ball: bool = True
 
@@ -86,7 +86,7 @@ class RoboCupState(struct.PyTreeNode):
     key: jnp.ndarray
 
 
-class RoboCup(Environment):
+class RoboCup(BatchedEnvironmentMixin, Environment):
     """Multi-agent SSL env; blue team (robots 0..N-1) attacks the yellow
 
     goal at -x, yellow team (robots N..2N-1) attacks +x.  Reward is from
@@ -240,3 +240,72 @@ class RoboCup(Environment):
             },
         )
         return new_state, ts
+
+
+def _robocup_step_fn_batch(self, states: RoboCupState, actions):
+    """Batch-minor fast path (see parallax_tpu.engine.batched)."""
+    from parallax_tpu.engine.batched import step_batched
+
+    cfg = self.config
+    B = states.t.shape[0]
+    actions = jnp.asarray(actions, jnp.float32).reshape(B, self.n_robots, 3)
+    v_cmd = jnp.clip(actions[..., :2], -cfg.robot_max_speed, cfg.robot_max_speed)
+    w_cmd = jnp.clip(actions[..., 2], -cfg.robot_max_omega, cfg.robot_max_omega)
+
+    b = states.bodies
+    ri = self.robot_idx
+    dv = jnp.clip(
+        v_cmd - b.vel[:, ri],
+        -cfg.robot_max_accel * cfg.dt,
+        cfg.robot_max_accel * cfg.dt,
+    )
+    b = b.replace(
+        vel=b.vel.at[:, ri].add(dv),
+        omega=b.omega.at[:, ri].set(w_cmd),
+    )
+
+    b, _con = step_batched(self.world, b)
+    b = b.replace(vel=b.vel.at[:, self.ball_idx].multiply(cfg.ball_damping))
+
+    new_states = states.replace(bodies=b, t=states.t + 1)
+
+    bx = b.pos[:, self.ball_idx, 0]
+    by = b.pos[:, self.ball_idx, 1]
+    line = PLAY_AREA[0] / 2
+    in_mouth = jnp.abs(by) < GOAL_DIM[1] / 2
+    blue_scored = (bx < -(line + BALL_RADIUS)) & in_mouth
+    yellow_scored = (bx > (line + BALL_RADIUS)) & in_mouth
+
+    shaping = -cfg.shaping_coef * bx
+    reward = (
+        jnp.where(blue_scored, cfg.goal_reward, 0.0)
+        - jnp.where(yellow_scored, cfg.goal_reward, 0.0)
+        + shaping * cfg.dt
+    )
+    terminated = blue_scored | yellow_scored
+    truncated = (new_states.t >= cfg.max_steps) & ~terminated
+
+    obs = jnp.concatenate(
+        [
+            b.pos[:, self.ball_idx],
+            b.vel[:, self.ball_idx],
+            b.pos[:, ri].reshape(B, -1),
+            b.vel[:, ri].reshape(B, -1),
+        ],
+        axis=-1,
+    )
+    ts = TimeStep(
+        obs=obs,
+        reward=reward,
+        terminated=terminated,
+        truncated=truncated,
+        info={
+            "blue_scored": blue_scored,
+            "yellow_scored": yellow_scored,
+            "ball_speed": jnp.sqrt(jnp.sum(b.vel[:, self.ball_idx] ** 2, -1)),
+        },
+    )
+    return new_states, ts
+
+
+RoboCup.step_fn_batch = _robocup_step_fn_batch
