@@ -288,10 +288,16 @@ class BatchedEnvironmentMixin:
     def step_fn_batch(self, states, actions):
         return jax.vmap(self.step_fn)(states, actions)
 
+    def watchdog_leaves(self, states):
+        """Leaves checked by the NaN watchdog (default: body state only —
+        derived fields can only go non-finite through the bodies)."""
+        b = states.bodies
+        return (b.pos, b.vel, b.angle, b.omega)
+
     def step_batch(self, states, actions):
         """Batched step + in-graph auto-reset (batched twin of ``step``)."""
         new_states, ts = self.step_fn_batch(states, actions)
-        bad = ~_all_finite_per_world(new_states)
+        bad = ~_all_finite_per_world(self.watchdog_leaves(new_states))
         ts = ts.replace(truncated=ts.truncated | bad)
 
         keys = jax.vmap(jax.random.split)(new_states.key)  # [B, 2, 2]

@@ -90,10 +90,17 @@ class LanderConfig:
 
 class LanderState(struct.PyTreeNode):
     bodies: BodyState
-    terrain: jnp.ndarray  # [7, MAX_VERTS, 2] ground segment vertices (world frame)
+    # ground segment vertices (world frame), stored FLAT [7 * MAX_VERTS * 2]
+    # so the batched state tiles efficiently on TPU (last dim 112 ~ 128);
+    # view via ``terrain_view``.
+    terrain: jnp.ndarray
     t: jnp.ndarray  # i32 step counter
     key: jnp.ndarray
     prev_shaping: jnp.ndarray  # f32, potential-based reward memory
+
+    @property
+    def terrain_view(self):
+        return self.terrain.reshape(self.terrain.shape[:-1] + (N_TERRAIN, MAX_VERTS, 2))
 
 
 def terrain_vertices(key) -> jnp.ndarray:
@@ -245,13 +252,14 @@ class LunarLander(BatchedEnvironmentMixin, Environment):
     def observation_size(self) -> int:
         return 9
 
-    def _world_with_terrain(self, terrain) -> World:
+    def _world_with_terrain(self, terrain_flat) -> World:
+        terrain = terrain_flat.reshape(N_TERRAIN, MAX_VERTS, 2)
         verts = self.world.parts.verts.at[np.asarray(self._ground_parts)].set(terrain)
         return self.world.replace(parts=self.world.parts.replace(verts=verts))
 
     def reset_fn(self, key) -> LanderState:
         tkey, skey = jax.random.split(key)
-        terrain = terrain_vertices(tkey)
+        terrain = terrain_vertices(tkey).reshape(-1)
         state = LanderState(
             bodies=self._init_bodies,
             terrain=terrain,
@@ -392,8 +400,9 @@ def _lander_step_fn_batch(self, states: LanderState, actions):
     )
 
     # per-world terrain as world-frame batch-minor planes
-    tox = jnp.transpose(states.terrain[..., 0], (1, 2, 0))  # [7, V, B]
-    toy = jnp.transpose(states.terrain[..., 1], (1, 2, 0))
+    tview = states.terrain_view  # [B, 7, V, 2]
+    tox = jnp.transpose(tview[..., 0], (1, 2, 0))  # [7, V, B]
+    toy = jnp.transpose(tview[..., 1], (1, 2, 0))
     override = {p: (tox[i], toy[i]) for i, p in enumerate(self._ground_parts)}
 
     b, con = step_batched(self.world, b, terrain_override=override)
@@ -473,4 +482,99 @@ def _lander_step_fn_batch(self, states: LanderState, actions):
     return new_states, ts
 
 
+def terrain_vertices_batch(keys) -> jnp.ndarray:
+    """Batch-minor twin of :func:`terrain_vertices`.
+
+    ``keys`` [B, 2] -> flat [B, 7*MAX_VERTS*2] terrain, bit-identical to
+    ``jax.vmap(terrain_vertices)`` (same per-world key splits and draws) but
+    with the clockwise ordering done as a stable 4-element sorting network
+    over batch-minor planes instead of a batch-leading argsort.
+    """
+    B = keys.shape[0]
+    ks = jax.vmap(lambda k: jax.random.split(k, 5))(keys)  # [B, 5, 2]
+    heights = jax.vmap(
+        lambda k: jax.random.uniform(k, (8,), minval=-5.0, maxval=5.0)
+    )(ks[:, 0]).T  # [8, B]
+    heights = heights.at[0].mul(10.0)
+    heights = heights.at[3].set(-2.0)
+    heights = heights.at[4].set(-2.0)
+    heights = heights.at[7].mul(10.0)
+
+    def u(i, lo, hi):
+        return jax.vmap(
+            lambda k: jax.random.uniform(k, (), minval=lo, maxval=hi)
+        )(ks[:, i])
+
+    ones = jnp.ones((B,))
+    positions = jnp.stack(
+        [
+            -100.0 * ones,
+            u(1, -12.0, -9.0),
+            u(2, -8.0, -4.0),
+            -2.0 * ones,
+            2.0 * ones,
+            u(3, 4.0, 8.0),
+            u(4, 9.0, 12.0),
+            100.0 * ones,
+        ]
+    )  # [8, B]
+    x0, x1 = positions[:-1], positions[1:]  # [7, B]
+    h0, h1 = heights[:-1], heights[1:]
+    bottom = jnp.full_like(x0, -10.0)
+    qx = jnp.stack([x0, x0, x1, x1], axis=1)  # [7, 4, B]
+    qy = jnp.stack([h0, bottom, h1, bottom], axis=1)
+
+    # order_clockwise: stable ascending atan2 sort around the centroid
+    cx = qx.mean(axis=1, keepdims=True)
+    cy = qy.mean(axis=1, keepdims=True)
+    ang = jnp.arctan2(qy - cy, qx - cx)  # [7, 4, B]
+    idx = jnp.broadcast_to(jnp.arange(4.0)[None, :, None], ang.shape)
+
+    def cswap(i, j, ang, idx, qx, qy):
+        ai, aj = ang[:, i], ang[:, j]
+        swap = (ai > aj) | ((ai == aj) & (idx[:, i] > idx[:, j]))
+
+        def sw(arr):
+            vi, vj = arr[:, i], arr[:, j]
+            arr = arr.at[:, i].set(jnp.where(swap, vj, vi))
+            arr = arr.at[:, j].set(jnp.where(swap, vi, vj))
+            return arr
+
+        return sw(ang), sw(idx), sw(qx), sw(qy)
+
+    for (i, j) in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+        ang, idx, qx, qy = cswap(i, j, ang, idx, qx, qy)
+
+    pad_idx = np.asarray([0, 1, 2, 3] + [3] * (MAX_VERTS - 4))
+    qx = qx[:, pad_idx]  # [7, V, B]
+    qy = qy[:, pad_idx]
+    terrain = jnp.stack([qx, qy], axis=2)  # [7, V, 2, B]
+    return jnp.transpose(terrain, (3, 0, 1, 2)).reshape(B, -1)
+
+
+def _lander_reset_fn_batch(self, keys):
+    B = keys.shape[0]
+    split = jax.vmap(jax.random.split)(keys)  # [B, 2, 2]
+    tkeys, skeys = split[:, 0], split[:, 1]
+    terrain = terrain_vertices_batch(tkeys)
+    bodies = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), self._init_bodies
+    )
+    states = LanderState(
+        bodies=bodies,
+        terrain=terrain,
+        t=jnp.zeros((B,), jnp.int32),
+        key=skeys,
+        prev_shaping=jnp.zeros((B,)),
+    )
+    # initial shaping with no leg contacts
+    px, py = bodies.pos[:, 0, 0], bodies.pos[:, 0, 1]
+    vx, vy = bodies.vel[:, 0, 0], bodies.vel[:, 0, 1]
+    dist = jnp.sqrt(px * px + (py - (PAD_Y + 1.0)) ** 2)
+    speed = jnp.sqrt(vx * vx + vy * vy)
+    shaping = -dist - speed - jnp.abs(bodies.angle[:, 0])
+    return states.replace(prev_shaping=shaping)
+
+
 LunarLander.step_fn_batch = _lander_step_fn_batch
+LunarLander.reset_fn_batch = _lander_reset_fn_batch

@@ -103,7 +103,9 @@ class Renderer:
         if hasattr(state, "terrain") and hasattr(env, "_ground_parts"):
             import jax.numpy as jnp
 
-            verts = wp.verts.at[np.asarray(env._ground_parts)].set(state.terrain)
+            verts = wp.verts.at[np.asarray(env._ground_parts)].set(
+                state.terrain_view if hasattr(state, "terrain_view") else state.terrain
+            )
             wp = wp.replace(verts=verts)
         return self.render_parts(wp)
 
