@@ -99,6 +99,9 @@ def solve_contacts(
     ran_p = jnp.take(ran, ip, axis=-1)
     rbn_p = jnp.take(rbn, ip, axis=-1)
     k_np = im_a + im_b + ii_a * ran * ran_p + ii_b * rbn * rbn_p
+    rat_p = jnp.take(rat, ip, axis=-1)
+    rbt_p = jnp.take(rbt, ip, axis=-1)
+    k_tp = im_a + im_b + ii_a * rat * rat_p + ii_b * rbt * rbt_p
 
     inv_kn = 1.0 / jnp.where(k_n == 0, 1.0, k_n)
     inv_kt = 1.0 / jnp.where(k_t == 0, 1.0, k_t)
@@ -144,6 +147,10 @@ def solve_contacts(
             jnp.moveaxis(dwa, -1, 0), ia, num_segments=n_bodies
         ) + jax.ops.segment_sum(jnp.moveaxis(dwb, -1, 0), ib, num_segments=n_bodies)
         return vel + jnp.moveaxis(dvel, 0, -2), omega + jnp.moveaxis(dom, 0, -1)
+
+    # block-solve only when both manifold lanes are active
+    active_p = jnp.take(active, ip, axis=-1)
+    blockable = has_partner_j & active & active_p
 
     def normal_pass(vel, omega, jn):
         v_n, _ = v_n_at(vel, omega)
@@ -193,20 +200,37 @@ def solve_contacts(
         jn_from_lead = jnp.take(jn_lead_partner, ip, axis=-1)
         jn_new_block = jnp.where(is_block_lead, jn_lead_self, jn_from_lead)
 
-        jn_new = jnp.where(has_partner_j, jn_new_block, jn_new_single)
+        jn_new = jnp.where(blockable, jn_new_block, jn_new_single)
         jn_new = jnp.where(active, jn_new, 0.0)
-        dj = jn_new - jn
-        vel, omega = apply(vel, omega, dj, jnp.zeros_like(dj))
+        vel, omega = apply(vel, omega, jn_new - jn, jnp.zeros_like(jn))
         return vel, omega, jn_new
 
     def friction_pass(vel, omega, jn, jt):
+        """Friction on post-normal velocities; coupled 2x2 for manifold
+        lanes, then Coulomb clamp."""
         _, v_t = v_n_at(vel, omega)
-        jt_new = jt + v_t * inv_kt
+        jt_single = jt + v_t * inv_kt
+        k_tpd = jnp.take(k_t, ip, axis=-1)
+        det_t = k_t * k_tpd - k_tp * k_tp
+        # relative threshold: face manifolds have identical tangential
+        # Jacobians on both points (singular); least-norm split then
+        ok_det_t = jnp.abs(det_t) >= 1e-5 * k_t * k_tpd
+        safe_det_t = jnp.where(ok_det_t, det_t, 1.0)
+        kt_sum = k_t + k_tp
+        jt_split = jt + v_t / jnp.where(kt_sum == 0, 1.0, kt_sum)
+        v_t_p = jnp.take(v_t, ip, axis=-1)
+        jt_p = jnp.take(jt, ip, axis=-1)
+        bt0 = k_t * jt + k_tp * jt_p + v_t
+        bt1 = k_tp * jt + k_tpd * jt_p + v_t_p
+        xt0 = (k_tpd * bt0 - k_tp * bt1) / safe_det_t
+        xt1 = (k_t * bt1 - k_tp * bt0) / safe_det_t
+        jt_block = jnp.where(is_block_lead, xt0, jnp.take(xt1, ip, axis=-1))
+        jt_block = jnp.where(ok_det_t, jt_block, jt_split)
+        jt_new = jnp.where(blockable, jt_block, jt_single)
         lim = mu * jn
         jt_new = jnp.clip(jt_new, -lim, lim)
         jt_new = jnp.where(active, jt_new, 0.0)
-        dj = jt_new - jt
-        vel, omega = apply(vel, omega, jnp.zeros_like(dj), dj)
+        vel, omega = apply(vel, omega, jnp.zeros_like(jt), jt_new - jt)
         return vel, omega, jt_new
 
     vel, omega = state.vel, state.omega

@@ -596,6 +596,9 @@ def solve_contacts_bm(
     ran_p = ran[ip]
     rbn_p = rbn[ip]
     k_np = im_a + im_b + ii_a * ran * ran_p + ii_b * rbn * rbn_p
+    rat_p = rat[ip]
+    rbt_p = rbt[ip]
+    k_tp = im_a + im_b + ii_a * rat * rat_p + ii_b * rbt * rbt_p
     inv_kn = 1.0 / jnp.where(k_n == 0, 1.0, k_n)
     inv_kt = 1.0 / jnp.where(k_t == 0, 1.0, k_t)
 
@@ -646,6 +649,19 @@ def solve_contacts_bm(
     det = k_n * k_p - k_np * k_np
     ok_det = jnp.abs(det) >= 1e-12
     safe_det = jnp.where(ok_det, det, 1.0)
+    k_tpd = k_t[ip]
+    det_t = k_t * k_tpd - k_tp * k_tp
+    # relative threshold: face contacts have IDENTICAL tangential Jacobians
+    # on both manifold points (det == 0 up to noise); treat near-singular as
+    # redundant and split the correction between the lanes
+    ok_det_t = jnp.abs(det_t) >= 1e-5 * k_t * k_tpd
+    safe_det_t = jnp.where(ok_det_t, det_t, 1.0)
+    inv_kt_coupled = 1.0 / jnp.where(k_t + k_tp == 0, 1.0, k_t + k_tp)
+
+    # a manifold block is solved jointly only when BOTH its lanes are
+    # active; otherwise the inactive partner's (stale) geometry would
+    # contaminate the active lane's solve.
+    blockable = has_p_j & active & active[ip]
 
     def normal_pass(vx, vy, om, jn):
         v_n, _ = rel_vel(vx, vy, om)
@@ -666,14 +682,29 @@ def solve_contacts_bm(
         x0 = jnp.where(ok_full, x0_full, jnp.where(ok_c2, x0_c2, 0.0))
         x1 = jnp.where(ok_full, x1_full, jnp.where(ok_c2, 0.0, jnp.where(ok_c3, x1_c3, 0.0)))
         jn_block = jnp.where(is_lead, x0, x1[ip])
-        jn_new = jnp.where(has_p_j, jn_block, jn_single)
+        jn_new = jnp.where(blockable, jn_block, jn_single)
         jn_new = jnp.where(active, jn_new, 0.0)
         vx, vy, om = scatter(jn_new - jn, jnp.zeros_like(jn), vx, vy, om)
         return vx, vy, om, jn_new
 
     def friction_pass(vx, vy, om, jn, jt):
+        """Friction on post-normal velocities; manifold lanes solve the
+        coupled 2x2 system (two points on one body pair Jacobi-overshoot if
+        solved independently), then clamp to the Coulomb box."""
         _, v_t = rel_vel(vx, vy, om)
-        jt_new = jt + v_t * inv_kt
+        jt_single = jt + v_t * inv_kt
+        # redundant (singular) case: applying x at both coupled points
+        # changes v_t by x*(k_t + k_tp) -> exact least-norm split
+        jt_split = jt + v_t * inv_kt_coupled
+        v_t_p = v_t[ip]
+        jt_p = jt[ip]
+        bt0 = k_t * jt + k_tp * jt_p + v_t
+        bt1 = k_tp * jt + k_tpd * jt_p + v_t_p
+        xt0 = (k_tpd * bt0 - k_tp * bt1) / safe_det_t
+        xt1 = (k_t * bt1 - k_tp * bt0) / safe_det_t
+        jt_block = jnp.where(is_lead, xt0, xt1[ip])
+        jt_block = jnp.where(ok_det_t, jt_block, jt_split)
+        jt_new = jnp.where(blockable, jt_block, jt_single)
         lim = mu * jn
         jt_new = jnp.clip(jt_new, -lim, lim)
         jt_new = jnp.where(active, jt_new, 0.0)

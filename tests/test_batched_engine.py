@@ -1,0 +1,148 @@
+"""Batch-minor fast path vs vmapped reference path equivalence."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parallax_tpu.engine.batched import collide_batched, step_batched, _to_soa
+from parallax_tpu.engine.world import BodyDef, World, WorldConfig
+from parallax_tpu.envs.lunar_lander import (
+    LunarLander,
+    terrain_vertices,
+    terrain_vertices_batch,
+)
+from parallax_tpu.envs.robocup import RoboCup, RoboCupConfig
+from parallax_tpu.geometry.shapes import box, circle, polygon
+
+
+def _mixed_world():
+    square = polygon([(-0.5, -0.5), (0.5, -0.5), (0.5, 0.5), (-0.5, 0.5)])
+    tri = polygon([(-0.4, -0.3), (0.5, -0.2), (0.0, 0.5)])
+    bodies = [
+        BodyDef(shapes=[square], mass=1.0, inertia=0.2, position=(0.0, 2.0),
+                angle=0.2, elasticity=0.3, friction=0.5),
+        BodyDef(shapes=[tri], mass=1.5, inertia=0.3, position=(0.4, 3.0),
+                angle=-0.4, elasticity=0.2, friction=0.4),
+        BodyDef(shapes=[circle(0.3)], mass=0.8, inertia=0.05,
+                position=(-0.5, 4.0), elasticity=0.6, friction=0.3),
+        BodyDef(shapes=[circle(0.25)], mass=0.5, inertia=0.04,
+                position=(0.6, 4.5), elasticity=0.9, friction=0.2),
+        BodyDef(shapes=[box((-6.0, -2.0), (6.0, 0.0))], mass=np.inf,
+                inertia=np.inf, elasticity=0.1, friction=0.6),
+        BodyDef(shapes=[polygon([(-6.0, 0.0), (-5.0, 0.0), (-5.0, 4.0),
+                                 (-6.0, 4.0)])], mass=np.inf, inertia=np.inf,
+                elasticity=0.1, friction=0.6),
+    ]
+    return World.build(
+        bodies,
+        WorldConfig(dt=0.01, gravity=(0.0, -9.8), integrator="symplectic",
+                    solver_iterations=8),
+    )
+
+
+def _random_batch(world, st0, B=32, seed=0):
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(), st0
+    )
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(seed), 4)
+    mv = jnp.isfinite(world.params.mass)
+    return batched.replace(
+        pos=batched.pos + jax.random.normal(k1, (B, world.n_bodies, 2)) * 0.3 * mv[:, None],
+        vel=batched.vel + jax.random.normal(k2, (B, world.n_bodies, 2)) * 1.0 * mv[:, None],
+        angle=batched.angle + jax.random.normal(k3, (B, world.n_bodies)) * 0.3 * mv,
+        omega=batched.omega + jax.random.normal(k4, (B, world.n_bodies)) * 1.0 * mv,
+    )
+
+
+def test_contacts_match_vmapped():
+    world, st0 = _mixed_world()
+    batched = _random_batch(world, st0)
+    cv = jax.jit(jax.vmap(world.detect_contacts))(batched)
+    cb = jax.jit(lambda st: collide_batched(world, _to_soa(st)))(batched)
+    act_v = np.asarray(cv.active)
+    act_b = np.asarray(cb.active).T
+    assert (act_v == act_b).all()
+    both = act_v & act_b
+    pen_b = np.stack([np.asarray(cb.pen_x).T, np.asarray(cb.pen_y).T], -1)
+    pt_b = np.stack([np.asarray(cb.pt_x).T, np.asarray(cb.pt_y).T], -1)
+    assert np.abs(np.asarray(cv.penetration) - pen_b)[both].max() < 1e-5
+    assert np.abs(np.asarray(cv.point) - pt_b)[both].max() < 1e-5
+    assert np.abs(np.asarray(cv.weight) - np.asarray(cb.weight).T)[both].max() < 1e-6
+
+
+def test_step_matches_vmapped():
+    world, st0 = _mixed_world()
+    batched = _random_batch(world, st0)
+    a = jax.jit(jax.vmap(lambda s: world.step(s)[0]))(batched)
+    b = jax.jit(lambda st: step_batched(world, st)[0])(batched)
+    assert np.abs(np.asarray(a.pos) - np.asarray(b.pos)).max() < 1e-5
+    assert np.abs(np.asarray(a.vel) - np.asarray(b.vel)).max() < 1e-4
+    assert np.abs(np.asarray(a.omega) - np.asarray(b.omega)).max() < 1e-3
+
+
+def test_lander_env_batched_matches():
+    env = LunarLander()
+    B = 12
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    states = jax.vmap(env.reset)(keys)
+    acts = jnp.tile(jnp.array([0.4, 0.05]), (B, 1))
+    x1, t1 = jax.jit(jax.vmap(env.step))(states, acts)
+    x2, t2 = jax.jit(env.step_batch)(states, acts)
+    assert np.abs(np.asarray(t1.obs) - np.asarray(t2.obs)).max() < 1e-5
+    assert np.abs(np.asarray(x1.bodies.pos) - np.asarray(x2.bodies.pos)).max() < 1e-5
+    assert (np.asarray(t1.done) == np.asarray(t2.done)).all()
+
+
+def test_lander_terrain_batch_bit_identical():
+    keys = jax.random.split(jax.random.PRNGKey(7), 8)
+    ref = jax.vmap(lambda k: terrain_vertices(k).reshape(-1))(keys)
+    got = terrain_vertices_batch(keys)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_lander_batched_reset_matches_vmap():
+    env = LunarLander()
+    keys = jax.random.split(jax.random.PRNGKey(3), 8)
+    a = jax.vmap(env.reset_fn)(keys)
+    b = env.reset_fn_batch(keys)
+    np.testing.assert_array_equal(np.asarray(a.terrain), np.asarray(b.terrain))
+    np.testing.assert_array_equal(np.asarray(a.key), np.asarray(b.key))
+    np.testing.assert_allclose(
+        np.asarray(a.prev_shaping), np.asarray(b.prev_shaping), atol=1e-6
+    )
+
+
+def test_robocup_env_batched_matches():
+    env = RoboCup(RoboCupConfig(n_robots_per_team=2))
+    B = 8
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    states = jax.vmap(env.reset)(keys)
+    acts = jnp.zeros((B, env.action_size)).at[:, 0].set(1.0)
+    x1, t1 = jax.jit(jax.vmap(env.step))(states, acts)
+    x2, t2 = jax.jit(env.step_batch)(states, acts)
+    assert np.abs(np.asarray(t1.obs) - np.asarray(t2.obs)).max() < 1e-5
+    assert np.abs(np.asarray(x1.bodies.pos) - np.asarray(x2.bodies.pos)).max() < 1e-5
+
+
+def test_grad_through_batched_step():
+    env = LunarLander()
+    B = 4
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    states = env.reset_fn_batch(keys)
+
+    def mean_height(throttle):
+        acts = jnp.tile(jnp.stack([throttle, jnp.zeros(())]), (B, 1))
+
+        def f(c, _):
+            c, ts = env.step_batch(c, acts)
+            return c, None
+
+        out = jax.lax.scan(f, states, None, length=20)[0]
+        return out.bodies.pos[:, 0, 1].mean()
+
+    g = jax.grad(mean_height)(jnp.asarray(0.5))
+    assert np.isfinite(np.asarray(g))
+    assert float(g) > 0  # more thrust -> higher
