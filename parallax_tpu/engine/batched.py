@@ -130,10 +130,10 @@ def _edge_axes(wx, wy, em):
     return nx * inv, ny * inv, ok
 
 
-def _minmax_proj(nx, ny, wx, wy, V):
+def _minmax_proj(nx, ny, wx, wy):
     """min/max over vertices of projections onto each axis: [G, A, B]."""
     mn = mx = None
-    for v in range(V):
+    for v in range(wx.shape[1]):
         p = nx * wx[:, v : v + 1, :] + ny * wy[:, v : v + 1, :]
         mn = p if mn is None else jnp.minimum(mn, p)
         mx = p if mx is None else jnp.maximum(mx, p)
@@ -146,17 +146,18 @@ def _pp_manifold_bm(ax, ay, ema, bx, by, emb):
     Inputs [G, V, B] vertex planes + [G, V] static masks.  Returns per-pair
     2-lane manifold planes: pen/pt [G, 2, B] x/y, active/weight [G, 2, B].
     """
-    G, V, B = ax.shape
+    G, Va, B = ax.shape
+    Vb = bx.shape[1]
     ema_j = jnp.asarray(ema)
     emb_j = jnp.asarray(emb)
     nax, nay, aok = _edge_axes(ax, ay, ema_j)
     nbx, nby, bok = _edge_axes(bx, by, emb_j)
-    NX = jnp.concatenate([nax, nbx], axis=1)  # [G, 2V, B]
+    NX = jnp.concatenate([nax, nbx], axis=1)  # [G, Va+Vb, B]
     NY = jnp.concatenate([nay, nby], axis=1)
     OK = jnp.concatenate([aok, bok], axis=1)
 
-    mna, mxa = _minmax_proj(NX, NY, ax, ay, V)
-    mnb, mxb = _minmax_proj(NX, NY, bx, by, V)
+    mna, mxa = _minmax_proj(NX, NY, ax, ay)
+    mnb, mxb = _minmax_proj(NX, NY, bx, by)
     o_pos = mxb - mna  # push A along +axis
     o_neg = mxa - mnb  # push A along -axis
     ovl = jnp.where(OK, jnp.minimum(o_pos, o_neg), INF)
@@ -166,7 +167,7 @@ def _pp_manifold_bm(ax, ay, ema, bx, by, emb):
     bx_ax = jnp.zeros((G, B))
     by_ax = jnp.zeros((G, B))
     bsign = jnp.ones((G, B))
-    for a in range(2 * V):
+    for a in range(Va + Vb):
         o = ovl[:, a, :]
         take = o < best
         best = jnp.where(take, o, best)
@@ -187,7 +188,7 @@ def _pp_manifold_bm(ax, ay, ema, bx, by, emb):
         r0x = r0y = r1x = r1y = jnp.zeros((G, B))
         wnx = jnp.roll(wx_, -1, axis=1)
         wny = jnp.roll(wy_, -1, axis=1)
-        for v in range(V):
+        for v in range(wx_.shape[1]):
             al = nx_[:, v, :] * dx + ny_[:, v, :] * dy
             al = jnp.where(ok_[:, v, :], al, -INF)
             take = al > bestv
@@ -466,10 +467,19 @@ def collide_batched(world, s: _SoA, terrain_override=None) -> ContactsBM:
         ia = list(g.part_a)
         ib = list(g.part_b)
         Gn = len(ia)
-        ema = np.stack([edge_mask_for(world.parts.nverts[i], V) for i in ia])
-        emb = np.stack([edge_mask_for(world.parts.nverts[i], V) for i in ib])
+        # trim repeat-padding to the group's real vertex count: slices of a
+        # repeat-padded table are themselves valid repeat-padded tables
+        Va = max(world.parts.nverts[i] for i in ia)
+        Vb = max(world.parts.nverts[i] for i in ib)
+        if g.kernel in ("cc", "cb", "bb", "area_cb"):
+            Va = min(Va, 2)
+            Vb = min(Vb, 2)
+        ema = np.stack([edge_mask_for(world.parts.nverts[i], Va) for i in ia])
+        emb = np.stack([edge_mask_for(world.parts.nverts[i], Vb) for i in ib])
         axv, ayv = side(ia)
         bxv, byv = side(ib)
+        axv, ayv = axv[:, :Va, :], ayv[:, :Va, :]
+        bxv, byv = bxv[:, :Vb, :], byv[:, :Vb, :]
         ra = world.parts.radius[np.asarray(ia)][:, None]  # [G, 1]
         rb = world.parts.radius[np.asarray(ib)][:, None]
 
@@ -487,11 +497,7 @@ def collide_batched(world, s: _SoA, terrain_override=None) -> ContactsBM:
             ubx, uby = axv[:, 1, :], ayv[:, 1, :]
             cx4 = jnp.stack([lbx, ubx, ubx, lbx], axis=1)
             cy4 = jnp.stack([lby, lby, uby, uby], axis=1)
-            pad = V - 4
-            if pad:
-                cx4 = jnp.concatenate([cx4] + [cx4[:, 3:4]] * pad, axis=1)
-                cy4 = jnp.concatenate([cy4] + [cy4[:, 3:4]] * pad, axis=1)
-            em4 = np.stack([edge_mask_for(4, V)] * Gn)
+            em4 = np.stack([edge_mask_for(4, 4)] * Gn)
             px, py, qx, qy, act, wgt = _pp_manifold_bm(cx4, cy4, em4, bxv, byv, emb)
             pieces.append(
                 (px.reshape(2 * Gn, B), py.reshape(2 * Gn, B),
@@ -627,6 +633,23 @@ def solve_contacts_bm(
     bias = jnp.where(active, bias, 0.0)
 
     n = world.n_bodies
+    # static per-body lane lists: the scatter becomes static row sums that
+    # XLA fuses, instead of generic scatter ops
+    lanes_a = [np.nonzero(ia == b)[0] for b in range(n)]
+    lanes_b = [np.nonzero(ib == b)[0] for b in range(n)]
+
+    def _accum(da, db):
+        rows = []
+        for b in range(n):
+            acc = 0.0
+            if len(lanes_a[b]):
+                acc = da[lanes_a[b]].sum(0)
+            if len(lanes_b[b]):
+                acc = acc + db[lanes_b[b]].sum(0)
+            if isinstance(acc, float):
+                acc = jnp.zeros_like(da[0])
+            rows.append(acc)
+        return jnp.stack(rows)
 
     def scatter(dj_n, dj_t, vx, vy, om):
         jx = dj_n * nx + dj_t * tx
@@ -637,9 +660,9 @@ def solve_contacts_bm(
         dvbx = -jx * im_b
         dvby = -jy * im_b
         dwb = -(rbx * jy - rby * jx) * ii_b
-        vx = vx + jax.ops.segment_sum(dvax, ia, n) + jax.ops.segment_sum(dvbx, ib, n)
-        vy = vy + jax.ops.segment_sum(dvay, ia, n) + jax.ops.segment_sum(dvby, ib, n)
-        om = om + jax.ops.segment_sum(dwa, ia, n) + jax.ops.segment_sum(dwb, ib, n)
+        vx = vx + _accum(dvax, dvbx)
+        vy = vy + _accum(dvay, dvby)
+        om = om + _accum(dwa, dwb)
         return vx, vy, om
 
     is_lead = jnp.asarray(has_p & (partner > np.arange(C)))[:, None]
