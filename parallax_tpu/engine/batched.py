@@ -566,6 +566,12 @@ def solve_contacts_bm(
     partner = np.asarray(table.partner)
     has_p = partner >= 0
     ip = np.where(has_p, partner, np.arange(C))
+    def pswap(x):
+        """Partner-lane gather (static indices).  NOTE: an interleaved
+        reshape-flip formulation was tried and is SLOWER on TPU than this
+        static gather (4.4M vs 7.0M steps/s end to end) — XLA lowers the
+        middle-axis reverse worse than the leading-axis gather."""
+        return x[ip]
 
     params = world.params
     im_a = params.inv_mass[ia][:, None]
@@ -599,11 +605,11 @@ def solve_contacts_bm(
     rbt = rbx * ty - rby * tx
     k_n = im_a + im_b + ii_a * ran * ran + ii_b * rbn * rbn
     k_t = im_a + im_b + ii_a * rat * rat + ii_b * rbt * rbt
-    ran_p = ran[ip]
-    rbn_p = rbn[ip]
+    ran_p = pswap(ran)
+    rbn_p = pswap(rbn)
     k_np = im_a + im_b + ii_a * ran * ran_p + ii_b * rbn * rbn_p
-    rat_p = rat[ip]
-    rbt_p = rbt[ip]
+    rat_p = pswap(rat)
+    rbt_p = pswap(rbt)
     k_tp = im_a + im_b + ii_a * rat * rat_p + ii_b * rbt * rbt_p
     inv_kn = 1.0 / jnp.where(k_n == 0, 1.0, k_n)
     inv_kt = 1.0 / jnp.where(k_t == 0, 1.0, k_t)
@@ -634,9 +640,11 @@ def solve_contacts_bm(
 
     n = world.n_bodies
     # static per-body lane lists: the scatter becomes static row sums that
-    # XLA fuses, instead of generic scatter ops
-    lanes_a = [np.nonzero(ia == b)[0] for b in range(n)]
-    lanes_b = [np.nonzero(ib == b)[0] for b in range(n)]
+    # XLA fuses, instead of generic scatter ops.  Statically-infinite-mass
+    # bodies never move — skip their accumulation entirely.
+    movable = [not world.static_bodies[b] for b in range(n)]
+    lanes_a = [np.nonzero(ia == b)[0] if movable[b] else [] for b in range(n)]
+    lanes_b = [np.nonzero(ib == b)[0] if movable[b] else [] for b in range(n)]
 
     def _accum(da, db):
         rows = []
@@ -667,12 +675,12 @@ def solve_contacts_bm(
 
     is_lead = jnp.asarray(has_p & (partner > np.arange(C)))[:, None]
     has_p_j = jnp.asarray(has_p)[:, None]
-    k_p = k_n[ip]
+    k_p = pswap(k_n)
     inv_kp = 1.0 / jnp.where(k_p == 0, 1.0, k_p)
     det = k_n * k_p - k_np * k_np
     ok_det = jnp.abs(det) >= 1e-12
     safe_det = jnp.where(ok_det, det, 1.0)
-    k_tpd = k_t[ip]
+    k_tpd = pswap(k_t)
     det_t = k_t * k_tpd - k_tp * k_tp
     # relative threshold: face contacts have IDENTICAL tangential Jacobians
     # on both manifold points (det == 0 up to noise); treat near-singular as
@@ -684,15 +692,15 @@ def solve_contacts_bm(
     # a manifold block is solved jointly only when BOTH its lanes are
     # active; otherwise the inactive partner's (stale) geometry would
     # contaminate the active lane's solve.
-    blockable = has_p_j & active & active[ip]
+    blockable = has_p_j & active & pswap(active)
 
     def normal_pass(vx, vy, om, jn):
         v_n, _ = rel_vel(vx, vy, om)
         rhs = v_n + target
         jn_single = jnp.maximum(jn + rhs * inv_kn, 0.0)
 
-        rhs_p = rhs[ip]
-        jn_p = jn[ip]
+        rhs_p = pswap(rhs)
+        jn_p = pswap(jn)
         b0 = k_n * jn + k_np * jn_p + rhs
         b1 = k_np * jn + k_p * jn_p + rhs_p
         x0_full = (k_p * b0 - k_np * b1) / safe_det
@@ -704,7 +712,7 @@ def solve_contacts_bm(
         ok_c3 = (k_np * x1_c3 - b0 >= -1e-9)
         x0 = jnp.where(ok_full, x0_full, jnp.where(ok_c2, x0_c2, 0.0))
         x1 = jnp.where(ok_full, x1_full, jnp.where(ok_c2, 0.0, jnp.where(ok_c3, x1_c3, 0.0)))
-        jn_block = jnp.where(is_lead, x0, x1[ip])
+        jn_block = jnp.where(is_lead, x0, pswap(x1))
         jn_new = jnp.where(blockable, jn_block, jn_single)
         jn_new = jnp.where(active, jn_new, 0.0)
         vx, vy, om = scatter(jn_new - jn, jnp.zeros_like(jn), vx, vy, om)
@@ -719,13 +727,13 @@ def solve_contacts_bm(
         # redundant (singular) case: applying x at both coupled points
         # changes v_t by x*(k_t + k_tp) -> exact least-norm split
         jt_split = jt + v_t * inv_kt_coupled
-        v_t_p = v_t[ip]
-        jt_p = jt[ip]
+        v_t_p = pswap(v_t)
+        jt_p = pswap(jt)
         bt0 = k_t * jt + k_tp * jt_p + v_t
         bt1 = k_tp * jt + k_tpd * jt_p + v_t_p
         xt0 = (k_tpd * bt0 - k_tp * bt1) / safe_det_t
         xt1 = (k_t * bt1 - k_tp * bt0) / safe_det_t
-        jt_block = jnp.where(is_lead, xt0, xt1[ip])
+        jt_block = jnp.where(is_lead, xt0, pswap(xt1))
         jt_block = jnp.where(ok_det_t, jt_block, jt_split)
         jt_new = jnp.where(blockable, jt_block, jt_single)
         lim = mu * jn
@@ -815,12 +823,19 @@ def step_batched(
     dt: Optional[float] = None,
     accel=None,
     terrain_override=None,
+    pre=None,
+    post=None,
 ) -> tuple[BodyState, ContactsBM]:
     """Batched world step, batch axis leading in ``state`` ([B, n, ...]).
 
     Equivalent to ``jax.vmap(lambda s: world.step(s))`` for solver_mode
     "block" / narrowphase "sat", restructured batch-minor for TPU.
     Returns (state, ContactsBM [C, B]).
+
+    ``pre``/``post``: optional ``(_SoA) -> _SoA`` hooks running in the
+    batch-minor frame (before integration / after joints).  Envs use these
+    for thrust kicks and damping so they never touch the badly-tiled
+    [B, n, 2] layout mid-step.
     """
     cfg = world.config
     dt = cfg.dt if dt is None else dt
@@ -830,6 +845,8 @@ def step_batched(
         gy = gy + accel[1]
 
     s = _to_soa(state)
+    if pre is not None:
+        s = pre(s)
     mov = jnp.isfinite(world.params.mass).astype(s.vx.dtype)[:, None]
 
     def integrate(s):
@@ -860,4 +877,6 @@ def step_batched(
         config=cfg.contact,
     )
     s = apply_joints_bm(world, s)
+    if post is not None:
+        s = post(s)
     return _from_soa(s), con

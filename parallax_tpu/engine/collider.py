@@ -64,7 +64,10 @@ class PairGroup:
         return len(self.part_a)
 
 
-KERNEL_ORDER = ("cc", "cb", "bb", "cp", "bp", "pp", "area_cb")
+# singleton-lane kernels first, manifold (2-lane) kernels last: the solver
+# exploits the contiguous interleaved manifold suffix for static partner
+# swaps (see engine.batched.solve_contacts_bm)
+KERNEL_ORDER = ("cc", "cb", "bb", "cp", "area_cb", "bp", "pp")
 
 # kernels that emit a 2-point manifold (two contact lanes per pair)
 MANIFOLD_KERNELS = ("bp", "pp")

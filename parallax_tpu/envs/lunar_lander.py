@@ -390,14 +390,24 @@ def _lander_step_fn_batch(self, states: LanderState, actions):
     side = jnp.clip(actions[:, 1], -1.0, 1.0)
 
     b = states.bodies
-    ang0 = b.angle[:, 0]
-    c0, s0 = jnp.cos(ang0), jnp.sin(ang0)
-    dvx = -s0 * (cfg.main_power * main * cfg.dt) + c0 * (cfg.side_power * side * cfg.dt)
-    dvy = c0 * (cfg.main_power * main * cfg.dt) + s0 * (cfg.side_power * side * cfg.dt)
-    b = b.replace(
-        vel=b.vel.at[:, 0, 0].add(dvx).at[:, 0, 1].add(dvy),
-        omega=b.omega.at[:, 0].add(-cfg.side_torque * side * cfg.dt),
-    )
+
+    def pre(s):
+        # thrust kicks on the lander, in the batch-minor frame
+        c0, s0 = jnp.cos(s.angle[0]), jnp.sin(s.angle[0])
+        dvx = -s0 * (cfg.main_power * main * cfg.dt) + c0 * (
+            cfg.side_power * side * cfg.dt
+        )
+        dvy = c0 * (cfg.main_power * main * cfg.dt) + s0 * (
+            cfg.side_power * side * cfg.dt
+        )
+        return s._replace(
+            vx=s.vx.at[0].add(dvx),
+            vy=s.vy.at[0].add(dvy),
+            omega=s.omega.at[0].add(-cfg.side_torque * side * cfg.dt),
+        )
+
+    def post(s):
+        return s._replace(omega=s.omega * self._omega_damp[:, None])
 
     # per-world terrain as world-frame batch-minor planes
     tview = states.terrain_view  # [B, 7, V, 2]
@@ -405,8 +415,9 @@ def _lander_step_fn_batch(self, states: LanderState, actions):
     toy = jnp.transpose(tview[..., 1], (1, 2, 0))
     override = {p: (tox[i], toy[i]) for i, p in enumerate(self._ground_parts)}
 
-    b, con = step_batched(self.world, b, terrain_override=override)
-    b = b.replace(omega=b.omega * self._omega_damp[None, :])
+    b, con = step_batched(
+        self.world, b, terrain_override=override, pre=pre, post=post
+    )
 
     act = con.active  # [C, B]
     left = act[self._left_leg_lanes].any(0) if len(self._left_leg_lanes) else jnp.zeros(B, bool)
