@@ -30,13 +30,13 @@ def main():
 
     inner = 100  # env steps per timed call
 
+    def policy(_, obs):
+        return jnp.zeros((obs.shape[0], 2), jnp.float32)
+
     @jax.jit
     def run(states, actions):
-        def f(s, _):
-            s, ts = env.step_batch(s, actions)
-            return s, None
-
-        return jax.lax.scan(f, states, None, length=inner)[0]
+        states, _traj = env.rollout_batch(states, policy, inner)
+        return states
 
     # compile + warmup
     states = run(states, actions)

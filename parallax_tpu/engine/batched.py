@@ -837,6 +837,22 @@ def step_batched(
     for thrust kicks and damping so they never touch the badly-tiled
     [B, n, 2] layout mid-step.
     """
+    s = _to_soa(state)
+    if pre is not None:
+        s = pre(s)
+    s, con = physics_core(
+        world, s, dt=dt, accel=accel, terrain_override=terrain_override
+    )
+    if post is not None:
+        s = post(s)
+    return _from_soa(s), con
+
+
+def physics_core(
+    world, s: _SoA, dt: Optional[float] = None, accel=None, terrain_override=None
+) -> tuple[_SoA, ContactsBM]:
+    """The full physics step in the batch-minor frame (integrate + gravity +
+    collide + solve + joints).  Plane-space rollouts scan this directly."""
     cfg = world.config
     dt = cfg.dt if dt is None else dt
     gx, gy = cfg.gravity
@@ -844,9 +860,6 @@ def step_batched(
         gx = gx + accel[0]
         gy = gy + accel[1]
 
-    s = _to_soa(state)
-    if pre is not None:
-        s = pre(s)
     mov = jnp.isfinite(world.params.mass).astype(s.vx.dtype)[:, None]
 
     def integrate(s):
@@ -877,6 +890,4 @@ def step_batched(
         config=cfg.contact,
     )
     s = apply_joints_bm(world, s)
-    if post is not None:
-        s = post(s)
-    return _from_soa(s), con
+    return s, con
