@@ -830,3 +830,83 @@ LunarLander._from_planes = _lander_from_planes
 LunarLander._obs_planes = _lander_obs_planes
 LunarLander._step_planes = _lander_step_planes
 LunarLander.rollout_batch = _lander_rollout_batch
+
+
+# ---------------------------------------------------------------------------
+# Continuous-time evaluation (reference AbstractEnvironment.eval semantics,
+# /root/reference/cotix/_envs.py:37-132) on the real LunarLander: World
+# forward dynamics + a dense-in-time Control + an integral-reward Judge.
+# The reference's abstract classes had zero concrete subclasses; these are
+# the concrete ones.
+# ---------------------------------------------------------------------------
+
+from parallax_tpu.envs.base import Judge as _Judge  # noqa: E402
+
+
+class LanderJudge(_Judge):
+    """Integral reward: R = ∫ -(dist + speed + |angle|) dt + terminal bonus."""
+
+    def __init__(self, env: "LunarLander", terrain_flat):
+        self.env = env
+        self.world = env._world_with_terrain(terrain_flat)
+
+    def _signals(self, bodies):
+        px, py = bodies.pos[0]
+        speed = safe_norm(bodies.vel[0])
+        contacts = self.world.detect_contacts(bodies)
+        act = contacts.active
+        left = act[self.env._left_leg_lanes].any()
+        right = act[self.env._right_leg_lanes].any()
+        lander_c = act[self.env._lander_ground_lanes].any()
+        landed = (
+            left
+            & right
+            & (speed < self.env.config.landed_speed)
+            & (jnp.abs(bodies.omega[0]) < self.env.config.landed_omega)
+            & (jnp.abs(bodies.angle[0]) < 0.3)
+        )
+        crashed = (
+            lander_c
+            | (jnp.abs(px) > self.env.config.out_x)
+            | (py < self.env.config.out_y)
+            | (jnp.abs(bodies.angle[0]) > self.env.config.crash_tilt)
+        )
+        return landed, crashed
+
+    def reward(self, state, control_signal):
+        b = state
+        dist = safe_norm(b.pos[0] - jnp.asarray([0.0, PAD_Y + 1.0]))
+        speed = safe_norm(b.vel[0])
+        fuel = jnp.clip(control_signal[0], 0.0, 1.0) + jnp.abs(control_signal[1])
+        return -(dist + speed + jnp.abs(b.angle[0])) - 0.3 * fuel
+
+    def is_done(self, state, control_signal):
+        landed, crashed = self._signals(state)
+        return landed | crashed
+
+    def end_reward(self, state, control_signal):
+        landed, crashed = self._signals(state)
+        return jnp.where(landed, 100.0, 0.0) + jnp.where(crashed, -100.0, 0.0)
+
+
+def make_world_forward(env: "LunarLander", terrain_flat):
+    """``forward(bodies, control_signal, dt) -> bodies`` — the continuous
+
+    -time world dynamics (thrust + physics) for :func:`envs.base.evaluate`."""
+    world = env._world_with_terrain(terrain_flat)
+    cfg = env.config
+
+    def forward(bodies, signal, dt):
+        main = jnp.clip(signal[0], 0.0, 1.0)
+        side = jnp.clip(signal[1], -1.0, 1.0)
+        up = rotate(jnp.asarray([0.0, 1.0]), bodies.angle[0])
+        right = rotate(jnp.asarray([1.0, 0.0]), bodies.angle[0])
+        dv = up * (cfg.main_power * main * dt) + right * (cfg.side_power * side * dt)
+        bodies = bodies.replace(
+            vel=bodies.vel.at[0].add(dv),
+            omega=bodies.omega.at[0].add(-cfg.side_torque * side * dt),
+        )
+        bodies, _ = world.step(bodies, dt=dt)
+        return bodies.replace(omega=bodies.omega * env._omega_damp)
+
+    return forward

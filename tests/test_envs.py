@@ -215,3 +215,31 @@ def test_continuous_time_evaluate():
     # integral of x dt from 0..1 = 0.5
     assert abs(float(final) - 1.0) < 0.05
     assert 10.0 < float(reward) < 11.0
+
+
+def test_continuous_time_evaluate_lander():
+    """The reference NFE/WFE loop over the real LunarLander with a concrete
+    Control and Judge (reference classes had no concrete subclasses)."""
+    from parallax_tpu.envs.lunar_lander import LanderJudge, make_world_forward
+
+    env = LunarLander()
+    state = env.reset(jax.random.PRNGKey(0))
+    judge = LanderJudge(env, state.terrain)
+    forward = make_world_forward(env, state.terrain)
+    control = ConstantControl(jnp.array([0.0, 0.0]))  # engines off
+    # drift out of bounds: deterministic terminal (|x| > out_x crashes)
+    bodies = state.bodies.replace(
+        vel=state.bodies.vel + jnp.asarray([[4.0, 0.0]] * 4)
+    )
+
+    final, reward = jax.jit(
+        lambda b: evaluate(forward, b, control, judge, eval_period=8.0,
+                           num_nfes=40, wfe_scale=10)
+    )(bodies)
+    assert np.isfinite(float(reward))
+    assert np.isfinite(np.asarray(final.pos)).all()
+    done = bool(jax.jit(judge.is_done)(final, jnp.zeros(2)))
+    assert done, "continuous-time eval should reach a terminal state"
+    # terminal penalty included and state frozen at the boundary
+    assert float(reward) < -50.0
+    assert abs(float(final.pos[0, 0])) >= env.config.out_x - 1.0
