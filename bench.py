@@ -19,47 +19,47 @@ BATCH = 8192
 TARGET = 10_000_000.0
 
 
-def main():
-    from parallax_tpu.envs.lunar_lander import LunarLander
-
-    env = LunarLander()
-
+def bench_env(env, name, inner=100):
     keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
-    states = jax.vmap(env.reset)(keys)
-    actions = jnp.zeros((BATCH, 2), jnp.float32)
-
-    inner = 100  # env steps per timed call
+    states = env.reset_fn_batch(keys)
+    act_dim = env.action_size
 
     def policy(_, obs):
-        return jnp.zeros((obs.shape[0], 2), jnp.float32)
+        return jnp.zeros((obs.shape[0], act_dim), jnp.float32)
 
     @jax.jit
-    def run(states, actions):
+    def run(states):
         states, _traj = env.rollout_batch(states, policy, inner)
         return states
 
-    # compile + warmup
-    states = run(states, actions)
+    states = run(states)
     jax.block_until_ready(states)
 
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        states = run(states, actions)
+        states = run(states)
         jax.block_until_ready(states)
         dt = time.perf_counter() - t0
         best = max(best, BATCH * inner / dt)
 
-    print(
-        json.dumps(
-            {
-                "metric": "lunarlander_env_steps_per_sec_per_chip_batch8192",
-                "value": round(best, 1),
-                "unit": "env-steps/s",
-                "vs_baseline": round(best / TARGET, 4),
-            }
-        )
-    )
+    return {
+        "metric": f"{name}_env_steps_per_sec_per_chip_batch8192",
+        "value": round(best, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(best / TARGET, 4),
+    }
+
+
+def main():
+    from parallax_tpu.envs.lunar_lander import LunarLander
+    from parallax_tpu.envs.robocup import RoboCup
+
+    # headline line (the driver records exactly one JSON line)
+    print(json.dumps(bench_env(LunarLander(), "lunarlander")))
+
+    if "--all" in sys.argv:
+        print(json.dumps(bench_env(RoboCup(), "robocup")))
 
 
 if __name__ == "__main__":

@@ -122,3 +122,67 @@ def test_graft_entry_points():
     assert np.isfinite(np.asarray(reward)).all()
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_rollout_has_zero_per_step_collectives():
+    """The worlds axis is embarrassingly parallel: the compiled sharded
+    rollout must contain NO cross-device collectives — which is what makes
+    multi-host scaling linear by construction (BASELINE north star)."""
+    import re
+
+    from parallax_tpu.parallel.mesh import make_world_mesh, shard_batch
+
+    mesh = make_world_mesh()
+    env = LunarLander()
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(0), 32))
+    states = shard_batch(states, mesh)
+
+    def policy(_, obs):
+        return jnp.zeros((obs.shape[0], 2), jnp.float32)
+
+    @jax.jit
+    def run(states):
+        states, _ = env.rollout_batch(states, policy, 4)
+        return states
+
+    hlo = run.lower(states).compile().as_text()
+    colls = re.findall(
+        r"(all-reduce|all-gather|collective-permute|reduce-scatter|all-to-all)",
+        hlo,
+    )
+    assert not colls, f"unexpected collectives in env rollout: {set(colls)}"
+
+
+def test_train_step_gradient_psum_crosses_devices():
+    """The learner side DOES reduce across the mesh: the train step's HLO
+    must contain an all-reduce for the gradient mean."""
+    import optax
+    import re
+
+    from parallax_tpu.parallel.mesh import (
+        batch_sharding,
+        make_world_mesh,
+        replicated,
+        shard_batch,
+    )
+    from parallax_tpu.parallel.rollout import make_train_step
+
+    env = LunarLander()
+    mesh = make_world_mesh()
+    params = {"w": jnp.zeros((env.observation_size, env.action_size)),
+              "b": jnp.zeros(env.action_size)}
+
+    def policy(p, obs):
+        return jnp.tanh(obs @ p["w"] + p["b"])
+
+    optimizer = optax.sgd(1e-3)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(env, policy, optimizer, 2)
+
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(0), 16))
+    states = shard_batch(states, mesh)
+    params = jax.device_put(params, replicated(mesh))
+    opt_state = jax.device_put(opt_state, replicated(mesh))
+
+    hlo = jax.jit(train_step).lower(params, opt_state, states).compile().as_text()
+    assert re.search(r"all-reduce", hlo), "gradient reduction must psum over the mesh"
