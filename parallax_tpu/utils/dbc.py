@@ -85,3 +85,28 @@ def post_condition(predicate: Callable, message: str = "", provide_input: bool =
         return wrapped
 
     return deco
+
+
+def class_invariant(cls):
+    """Class decorator: check ``__invariant__(self)`` before every public
+
+    method call (reference class_invariant, _design_by_contract.py:61-107 —
+    its "detect NaNs early" rationale).  No-op unless debug checks are on.
+    """
+    if not hasattr(cls, "__invariant__"):
+        raise TypeError(f"{cls.__name__} needs an __invariant__ method")
+
+    def wrap(fn):
+        @functools.wraps(fn)
+        def checked(self, *args, **kwargs):
+            if _DEBUG:
+                check(self.__invariant__(), f"invariant of {cls.__name__}")
+            return fn(self, *args, **kwargs)
+
+        return checked
+
+    for name, attr in list(vars(cls).items()):
+        if name.startswith("_") or not callable(attr):
+            continue
+        setattr(cls, name, wrap(attr))
+    return cls
