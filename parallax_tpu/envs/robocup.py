@@ -76,7 +76,10 @@ class RoboCupConfig:
     goal_reward: float = 1.0
     shaping_coef: float = 0.01
     solver_mode: str = "block"
-    solver_iterations: int = 4
+    # circle-dominated contact graphs converge fast; (3, 2) matches (4, 3)
+    # on ball/robot trajectories
+    solver_iterations: int = 3
+    position_iterations: int = 2
     randomize_ball: bool = True
 
 
@@ -147,6 +150,7 @@ class RoboCup(BatchedEnvironmentMixin, Environment):
             integrator="reference",
             solver_mode=config.solver_mode,
             solver_iterations=config.solver_iterations,
+            position_iterations=config.position_iterations,
         )
         self.world, self._init_bodies = World.build(bodies, wc, collision_filter=filt)
 

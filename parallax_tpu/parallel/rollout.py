@@ -59,10 +59,20 @@ def rollout(
 
 
 def batched_rollout(env, states, policy_fn, policy_params, n_steps, checkpoint_segments=0):
-    """vmap of :func:`rollout` over the leading batch axis of ``states``."""
-    return jax.vmap(
+    """Batched rollout: uses the env's plane-space fast path when available
+
+    (``env.rollout_batch``, bit-identical to the vmapped path), falling back
+    to ``vmap`` of :func:`rollout`.  Checkpointed variants stay on the vmap
+    path (rematerialization wraps the per-step scan)."""
+    fast = getattr(env, "rollout_batch", None)
+    if fast is not None and not checkpoint_segments:
+        return fast(states, policy_fn, n_steps, policy_params)
+    final, tss = jax.vmap(
         lambda s: rollout(env, s, policy_fn, policy_params, n_steps, checkpoint_segments)
     )(states)
+    # normalize to the fast path's time-major [T, B, ...] trajectory layout
+    tss = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), tss)
+    return final, tss
 
 
 def make_train_step(
@@ -85,10 +95,10 @@ def make_train_step(
         final, tss = batched_rollout(
             env, states, policy_fn, params, n_steps, checkpoint_segments
         )
-        # discounted return through the differentiable step
+        # discounted return through the differentiable step ([T, B] rewards)
         T = n_steps
         disc = discount ** jnp.arange(T, dtype=jnp.float32)
-        ret = jnp.sum(tss.reward * disc[None, :], axis=1)  # [B]
+        ret = jnp.sum(tss.reward * disc[:, None], axis=0)  # [B]
         return -jnp.mean(ret), (final, jnp.mean(ret))
 
     def train_step(params, opt_state, states):

@@ -146,3 +146,22 @@ def test_grad_through_batched_step():
     g = jax.grad(mean_height)(jnp.asarray(0.5))
     assert np.isfinite(np.asarray(g))
     assert float(g) > 0  # more thrust -> higher
+
+
+def test_grad_through_rollout_batch():
+    """Differentiability of the plane-space fast path (policy-gradient
+    through the physics over the rollout scan)."""
+    env = LunarLander()
+    B = 4
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(0), B))
+
+    def mean_return(theta):
+        def policy(_, obs):
+            return jnp.tile(jnp.stack([theta, jnp.zeros(())]), (obs.shape[0], 1))
+
+        _, traj = env.rollout_batch(states, policy, 20)
+        return traj.reward.mean()
+
+    g = jax.grad(mean_return)(jnp.asarray(0.4))
+    assert np.isfinite(np.asarray(g))
+    assert abs(float(g)) > 1e-6
