@@ -880,14 +880,34 @@ def physics_core(
         s = grav(s)
 
     con = collide_batched(world, s, terrain_override)
-    s = solve_contacts_bm(
-        world,
-        s,
-        con,
-        iterations=cfg.solver_iterations,
-        position_iterations=cfg.position_iterations,
-        dt=dt,
-        config=cfg.contact,
-    )
+    if _pallas_ok(world, s):
+        from parallax_tpu.ops.pallas_solver import solve_contacts_pallas
+
+        s = solve_contacts_pallas(
+            world, s, con,
+            iterations=cfg.solver_iterations,
+            position_iterations=cfg.position_iterations,
+            dt=dt, config=cfg.contact,
+        )
+    else:
+        s = solve_contacts_bm(
+            world,
+            s,
+            con,
+            iterations=cfg.solver_iterations,
+            position_iterations=cfg.position_iterations,
+            dt=dt,
+            config=cfg.contact,
+        )
     s = apply_joints_bm(world, s)
     return s, con
+
+
+def _pallas_ok(world, s) -> bool:
+    if not world.config.use_pallas_solver:
+        return False
+    from parallax_tpu.ops.pallas_solver import TILE_B
+
+    if s.vx.shape[-1] % TILE_B != 0:
+        return False
+    return jax.default_backend() == "tpu"

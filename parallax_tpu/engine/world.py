@@ -60,6 +60,10 @@ class WorldConfig:
     joint_mode: str = "gauss_seidel"
     joint_iterations: int = 1
     contact: ContactSolverConfig = DEFAULT_SOLVER
+    # run the contact solve as one fused Pallas TPU kernel (batched path
+    # only; requires batch % ops.pallas_solver.TILE_B == 0 and a TPU
+    # backend — silently falls back otherwise)
+    use_pallas_solver: bool = False
 
 
 @dataclasses.dataclass

@@ -222,6 +222,7 @@ class LunarLander(BatchedEnvironmentMixin, Environment):
             solver_iterations=config.solver_iterations,
             position_iterations=config.position_iterations,
             joint_mode="gauss_seidel",
+            use_pallas_solver=True,
         )
         self.world, self._init_bodies = World.build(
             [lander, right_leg, left_leg, ground], wc, joints=joints

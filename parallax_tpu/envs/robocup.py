@@ -151,6 +151,7 @@ class RoboCup(BatchedEnvironmentMixin, Environment):
             solver_mode=config.solver_mode,
             solver_iterations=config.solver_iterations,
             position_iterations=config.position_iterations,
+            use_pallas_solver=True,
         )
         self.world, self._init_bodies = World.build(bodies, wc, collision_filter=filt)
 

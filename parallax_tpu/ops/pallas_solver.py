@@ -1,0 +1,377 @@
+"""Pallas TPU kernel: the sequential-impulse contact solver.
+
+The solver is ~half the physics step and its JAX form launches dozens of
+small kernels per velocity iteration (gathers, elementwise chains, row-sum
+scatters), each paying dispatch + HBM round-trips.  This kernel runs ALL
+iterations for a tile of worlds entirely in VMEM: one launch, one read of
+the contact/body planes, one write of the results.
+
+Indexing strategy: Pallas kernels cannot capture array constants and TPU
+gathers are weak, so every lane<->body mapping is expressed as a tiny
+one-hot matmul on the MXU:
+
+* gather body rows per lane:      ``OH_a [C, n] @ x [n, TB] -> [C, TB]``
+* scatter-add lane deltas:        ``OH_a^T [n, C] @ d [C, TB] -> [n, TB]``
+  (rows of static bodies zeroed)
+* partner-lane swap:              ``OH_p [C, C] @ x [C, TB]``
+
+Per-lane constant parameters ride in as a packed ``[R, C]`` input.
+Semantics are identical to ``engine.batched.solve_contacts_bm``; equivalence
+is asserted by tests/test_pallas_solver.py in interpreter mode and on
+hardware by the bench path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from parallax_tpu.dynamics.impulses import ContactSolverConfig
+
+TILE_B = 512
+
+# rows of the packed lane-constant input
+_R_IM_A, _R_IM_B, _R_II_A, _R_II_B, _R_E, _R_MU, _R_IS_LEAD, _R_HAS_P = range(8)
+_NUM_CONST_ROWS = 8
+
+
+def _build_operands(world):
+    """Static (host-side) constants -> kernel input arrays."""
+    table = world.table
+    C = table.n_contacts
+    ia = np.asarray(table.body_a)
+    ib = np.asarray(table.body_b)
+    partner = np.asarray(table.partner)
+    has_p = partner >= 0
+    ip = np.where(has_p, partner, np.arange(C))
+    n = world.n_bodies
+    is_lead = has_p & (partner > np.arange(C))
+
+    params = world.params
+    mass = np.asarray(params.mass)
+    inertia = np.asarray(params.inertia)
+    e_np = np.asarray(params.elasticity)
+    mu_np = np.asarray(params.friction)
+    im = (1.0 / mass).astype(np.float32)
+    ii = (1.0 / inertia).astype(np.float32)
+
+    lane_const = np.zeros((_NUM_CONST_ROWS, C), np.float32)
+    lane_const[_R_IM_A] = im[ia]
+    lane_const[_R_IM_B] = im[ib]
+    lane_const[_R_II_A] = ii[ia]
+    lane_const[_R_II_B] = ii[ib]
+    lane_const[_R_E] = np.minimum(e_np[ia], e_np[ib])
+    lane_const[_R_MU] = (mu_np[ia] + mu_np[ib]) / 2
+    lane_const[_R_IS_LEAD] = is_lead
+    lane_const[_R_HAS_P] = has_p
+
+    oh_a = np.zeros((C, n), np.float32)
+    oh_a[np.arange(C), ia] = 1.0
+    oh_b = np.zeros((C, n), np.float32)
+    oh_b[np.arange(C), ib] = 1.0
+    oh_p = np.zeros((C, C), np.float32)
+    oh_p[np.arange(C), ip] = 1.0
+    movable = np.asarray([0.0 if world.static_bodies[b] else 1.0 for b in range(n)],
+                         np.float32)
+    acc_a = oh_a.T * movable[:, None]  # [n, C]
+    acc_b = oh_b.T * movable[:, None]
+    return dict(
+        C=C, n=n,
+        lane_const=jnp.asarray(lane_const),
+        oh_a=jnp.asarray(oh_a), oh_b=jnp.asarray(oh_b),
+        oh_p=jnp.asarray(oh_p),
+        acc_a=jnp.asarray(acc_a), acc_b=jnp.asarray(acc_b),
+    )
+
+
+def solve_contacts_pallas(
+    world,
+    s,
+    con,
+    iterations: int,
+    position_iterations: int,
+    dt: float,
+    config: ContactSolverConfig,
+    interpret: bool = False,
+):
+    """Drop-in twin of ``solve_contacts_bm`` running as one Pallas kernel.
+
+    Differentiable: the backward pass routes through the JAX implementation
+    (``solve_contacts_bm``) via custom_vjp — Pallas speed on the forward,
+    exact autodiff semantics on the reverse (both paths compute identical
+    values, so the VJP is consistent)."""
+
+    @jax.custom_vjp
+    def _solve(s, con):
+        return _solve_fwd_only(world, s, con, iterations, position_iterations,
+                               dt, config, interpret)
+
+    def _fwd(s, con):
+        return _solve(s, con), (s, con)
+
+    def _bwd(res, g):
+        from parallax_tpu.engine.batched import solve_contacts_bm
+
+        s0, con0 = res
+        _, vjp = jax.vjp(
+            lambda ss, cc: solve_contacts_bm(
+                world, ss, cc, iterations, position_iterations, dt, config
+            ),
+            s0,
+            con0,
+        )
+        return vjp(g)
+
+    _solve.defvjp(_fwd, _bwd)
+    return _solve(s, con)
+
+
+def _solve_fwd_only(
+    world, s, con, iterations, position_iterations, dt, config, interpret
+):
+    ops = _build_operands(world)
+    C, n = ops["C"], ops["n"]
+    if C == 0:
+        return s
+    B = s.vx.shape[-1]
+    assert B % TILE_B == 0, f"batch {B} must be a multiple of {TILE_B}"
+
+    kernel = functools.partial(
+        _solver_kernel,
+        iterations=iterations,
+        position_iterations=position_iterations,
+        dt=float(dt),
+        config=config,
+    )
+
+    grid = (B // TILE_B,)
+
+    def tile(rows):
+        return pl.BlockSpec((rows, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def whole(a):
+        return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    out_shapes = [jax.ShapeDtypeStruct((n, B), s.vx.dtype) for _ in range(6)]
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=(
+            [whole(ops["lane_const"]), whole(ops["oh_a"]), whole(ops["oh_b"]),
+             whole(ops["oh_p"]), whole(ops["acc_a"]), whole(ops["acc_b"])]
+            + [tile(C)] * 6
+            + [tile(n)] * 6
+        ),
+        out_specs=[tile(n)] * 6,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(
+        ops["lane_const"], ops["oh_a"], ops["oh_b"], ops["oh_p"],
+        ops["acc_a"], ops["acc_b"],
+        con.pen_x, con.pen_y, con.pt_x, con.pt_y,
+        con.active.astype(s.vx.dtype), con.weight,
+        s.px, s.py, s.vx, s.vy, s.angle, s.omega,
+    )
+    px, py, vx, vy, angle, omega = outs
+    return s._replace(px=px, py=py, vx=vx, vy=vy, angle=angle, omega=omega)
+
+
+def _solver_kernel(
+    const_ref, oh_a_ref, oh_b_ref, oh_p_ref, acc_a_ref, acc_b_ref,
+    pen_x_ref, pen_y_ref, pt_x_ref, pt_y_ref, act_ref, wgt_ref,
+    px_ref, py_ref, vx_ref, vy_ref, ang_ref, om_ref,
+    opx_ref, opy_ref, ovx_ref, ovy_ref, oang_ref, oom_ref,
+    *, iterations, position_iterations, dt, config,
+):
+    f32 = jnp.float32
+    lane = const_ref[:]
+    oh_a = oh_a_ref[:]
+    oh_b = oh_b_ref[:]
+    oh_p = oh_p_ref[:]
+    acc_a = acc_a_ref[:]
+    acc_b = acc_b_ref[:]
+
+    def ga(x):  # gather body rows for lane side A: [C, TB]
+        return jnp.dot(oh_a, x, preferred_element_type=f32)
+
+    def gb(x):
+        return jnp.dot(oh_b, x, preferred_element_type=f32)
+
+    def pswap(x):  # partner lane: [C, TB]
+        return jnp.dot(oh_p, x, preferred_element_type=f32)
+
+    im_a = lane[_R_IM_A][:, None]
+    im_b = lane[_R_IM_B][:, None]
+    ii_a = lane[_R_II_A][:, None]
+    ii_b = lane[_R_II_B][:, None]
+    e = lane[_R_E][:, None]
+    mu = lane[_R_MU][:, None]
+    is_lead = lane[_R_IS_LEAD][:, None] > 0
+    has_p = lane[_R_HAS_P][:, None] > 0
+
+    pen_x = pen_x_ref[:]
+    pen_y = pen_y_ref[:]
+    pt_x = pt_x_ref[:]
+    pt_y = pt_y_ref[:]
+    active = act_ref[:] > 0
+    px = px_ref[:]
+    py = py_ref[:]
+    vx = vx_ref[:]
+    vy = vy_ref[:]
+    om = om_ref[:]
+
+    d2 = pen_x * pen_x + pen_y * pen_y
+    inv_d = jax.lax.rsqrt(jnp.where(d2 <= 0, 1.0, d2))
+    depth = d2 * inv_d
+    nx = jnp.where(d2 == 0, 0.0, pen_x * inv_d)
+    ny = jnp.where(d2 == 0, 0.0, pen_y * inv_d)
+    tx, ty = -ny, nx
+
+    rax = pt_x - ga(px)
+    ray = pt_y - ga(py)
+    rbx = pt_x - gb(px)
+    rby = pt_y - gb(py)
+    ran = rax * ny - ray * nx
+    rbn = rbx * ny - rby * nx
+    rat = rax * ty - ray * tx
+    rbt = rbx * ty - rby * tx
+    k_n = im_a + im_b + ii_a * ran * ran + ii_b * rbn * rbn
+    k_t = im_a + im_b + ii_a * rat * rat + ii_b * rbt * rbt
+    ran_p = pswap(ran)
+    rbn_p = pswap(rbn)
+    k_np = im_a + im_b + ii_a * ran * ran_p + ii_b * rbn * rbn_p
+    rat_p = pswap(rat)
+    rbt_p = pswap(rbt)
+    k_tp = im_a + im_b + ii_a * rat * rat_p + ii_b * rbt * rbt_p
+    inv_kn = 1.0 / jnp.where(k_n == 0, 1.0, k_n)
+    inv_kt = 1.0 / jnp.where(k_t == 0, 1.0, k_t)
+
+    k_p = pswap(k_n)
+    inv_kp = 1.0 / jnp.where(k_p == 0, 1.0, k_p)
+    det = k_n * k_p - k_np * k_np
+    ok_det = jnp.abs(det) >= 1e-12
+    safe_det = jnp.where(ok_det, det, 1.0)
+    k_tpd = pswap(k_t)
+    det_t = k_t * k_tpd - k_tp * k_tp
+    ok_det_t = jnp.abs(det_t) >= 1e-5 * k_t * k_tpd
+    safe_det_t = jnp.where(ok_det_t, det_t, 1.0)
+    inv_kt_coupled = 1.0 / jnp.where(k_t + k_tp == 0, 1.0, k_t + k_tp)
+    active_f = active.astype(f32)
+    blockable = has_p & active & (pswap(active_f) > 0)
+
+    def rel_vel(vx, vy, om):
+        om_a = ga(om)
+        om_b = gb(om)
+        vax = ga(vx) - ray * om_a
+        vay = ga(vy) + rax * om_a
+        vbx = gb(vx) - rby * om_b
+        vby = gb(vy) + rbx * om_b
+        rx = vbx - vax
+        ry = vby - vay
+        return rx * nx + ry * ny, rx * tx + ry * ty
+
+    v_n0, _ = rel_vel(vx, vy, om)
+    bias = (
+        config.baumgarte
+        * jnp.maximum(depth - config.baumgarte_slop, 0.0)
+        / config.baumgarte_dt
+    )
+    if config.baumgarte_max_bias is not None:
+        bias = jnp.minimum(bias, config.baumgarte_max_bias)
+    rest = jnp.where(v_n0 > 0, e * jnp.maximum(v_n0, 0.0), 0.0)
+    split = position_iterations > 0
+    target = jnp.where(active, rest if split else rest + bias, 0.0)
+    bias = jnp.where(active, bias, 0.0)
+
+    def scatter(dj_n, dj_t, vx, vy, om):
+        jx = dj_n * nx + dj_t * tx
+        jy = dj_n * ny + dj_t * ty
+        dvax = jx * im_a
+        dvay = jy * im_a
+        dwa = (rax * jy - ray * jx) * ii_a
+        dvbx = -jx * im_b
+        dvby = -jy * im_b
+        dwb = -(rbx * jy - rby * jx) * ii_b
+        vx = vx + jnp.dot(acc_a, dvax, preferred_element_type=f32) + jnp.dot(
+            acc_b, dvbx, preferred_element_type=f32
+        )
+        vy = vy + jnp.dot(acc_a, dvay, preferred_element_type=f32) + jnp.dot(
+            acc_b, dvby, preferred_element_type=f32
+        )
+        om = om + jnp.dot(acc_a, dwa, preferred_element_type=f32) + jnp.dot(
+            acc_b, dwb, preferred_element_type=f32
+        )
+        return vx, vy, om
+
+    jn = jnp.zeros_like(pen_x)
+    jt = jnp.zeros_like(pen_x)
+    for _ in range(iterations):
+        v_n, _ = rel_vel(vx, vy, om)
+        rhs = v_n + target
+        jn_single = jnp.maximum(jn + rhs * inv_kn, 0.0)
+        rhs_p = pswap(rhs)
+        jn_p = pswap(jn)
+        b0 = k_n * jn + k_np * jn_p + rhs
+        b1 = k_np * jn + k_p * jn_p + rhs_p
+        x0_full = (k_p * b0 - k_np * b1) / safe_det
+        x1_full = (k_n * b1 - k_np * b0) / safe_det
+        ok_full = (x0_full >= 0) & (x1_full >= 0) & ok_det
+        x0_c2 = jnp.maximum(b0 * inv_kn, 0.0)
+        ok_c2 = k_np * x0_c2 - b1 >= -1e-9
+        x1_c3 = jnp.maximum(b1 * inv_kp, 0.0)
+        ok_c3 = k_np * x1_c3 - b0 >= -1e-9
+        x0 = jnp.where(ok_full, x0_full, jnp.where(ok_c2, x0_c2, 0.0))
+        x1 = jnp.where(ok_full, x1_full, jnp.where(ok_c2, 0.0, jnp.where(ok_c3, x1_c3, 0.0)))
+        jn_block = jnp.where(is_lead, x0, pswap(x1))
+        jn_new = jnp.where(blockable, jn_block, jn_single)
+        jn_new = jnp.where(active, jn_new, 0.0)
+        vx, vy, om = scatter(jn_new - jn, jnp.zeros_like(jn), vx, vy, om)
+        jn = jn_new
+
+        _, v_t = rel_vel(vx, vy, om)
+        jt_single = jt + v_t * inv_kt
+        jt_split = jt + v_t * inv_kt_coupled
+        v_t_p = pswap(v_t)
+        jt_p = pswap(jt)
+        bt0 = k_t * jt + k_tp * jt_p + v_t
+        bt1 = k_tp * jt + k_tpd * jt_p + v_t_p
+        xt0 = (k_tpd * bt0 - k_tp * bt1) / safe_det_t
+        xt1 = (k_t * bt1 - k_tp * bt0) / safe_det_t
+        jt_block = jnp.where(is_lead, xt0, pswap(xt1))
+        jt_block = jnp.where(ok_det_t, jt_block, jt_split)
+        jt_new = jnp.where(blockable, jt_block, jt_single)
+        lim = mu * jn
+        jt_new = jnp.clip(jt_new, -lim, lim)
+        jt_new = jnp.where(active, jt_new, 0.0)
+        vx, vy, om = scatter(jnp.zeros_like(jt), jt_new - jt, vx, vy, om)
+        jt = jt_new
+
+    opx = px
+    opy = py
+    oang = ang_ref[:]
+    if split:
+        pvx = jnp.zeros_like(vx)
+        pvy = jnp.zeros_like(vy)
+        pom = jnp.zeros_like(om)
+        pj = jnp.zeros_like(jn)
+        for _ in range(position_iterations):
+            v_n, _ = rel_vel(pvx, pvy, pom)
+            rhs = v_n + bias
+            pj_new = jnp.where(active, jnp.maximum(pj + rhs * inv_kn, 0.0), 0.0)
+            pvx, pvy, pom = scatter(pj_new - pj, jnp.zeros_like(pj), pvx, pvy, pom)
+            pj = pj_new
+        opx = opx + pvx * dt
+        opy = opy + pvy * dt
+        oang = oang + pom * dt
+
+    opx_ref[:] = opx
+    opy_ref[:] = opy
+    ovx_ref[:] = vx
+    ovy_ref[:] = vy
+    oang_ref[:] = oang
+    oom_ref[:] = om

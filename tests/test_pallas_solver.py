@@ -1,0 +1,67 @@
+"""Pallas solver kernel: interpreter-mode equivalence with the JAX path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parallax_tpu.engine.batched import collide_batched, solve_contacts_bm, _to_soa
+from parallax_tpu.envs.lunar_lander import LunarLander
+from parallax_tpu.ops.pallas_solver import TILE_B, solve_contacts_pallas
+
+
+@pytest.fixture(scope="module")
+def contact_state():
+    env = LunarLander()
+    B = TILE_B
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(0), B))
+    bodies = states.bodies.replace(
+        pos=states.bodies.pos - jnp.asarray([0.0, 6.2])[None, None, :],
+        vel=states.bodies.vel - jnp.asarray([0.0, 0.6])[None, None, :],
+    )
+    states = states.replace(bodies=bodies)
+    acts = jnp.zeros((B, 2))
+    step = jax.jit(env.step_batch)
+    for _ in range(40):
+        states, _ = step(states, acts)
+    s = _to_soa(states.bodies)
+    tflat = jnp.swapaxes(states.terrain, 0, 1)
+    tp = tflat.reshape(7, 8, 2, B)
+    override = {
+        p: (tp[i, :, 0, :], tp[i, :, 1, :])
+        for i, p in enumerate(env._ground_parts)
+    }
+    con = jax.jit(lambda s: collide_batched(env.world, s, override))(s)
+    assert int(con.active.sum()) > 100, "scenario must have real contacts"
+    return env.world, s, con
+
+
+def test_pallas_solver_matches_jax_path(contact_state):
+    world, s, con = contact_state
+    ref = jax.jit(
+        lambda s, c: solve_contacts_bm(world, s, c, 3, 2, 0.01, world.config.contact)
+    )(s, con)
+    got = jax.jit(
+        lambda s, c: solve_contacts_pallas(
+            world, s, c, 3, 2, 0.01, world.config.contact, interpret=True
+        )
+    )(s, con)
+    for f in ("px", "py", "vx", "vy", "angle", "omega"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, f)), np.asarray(getattr(got, f)), atol=1e-5
+        )
+
+
+def test_pallas_solver_custom_vjp(contact_state):
+    """Gradients flow through the Pallas path (bwd = JAX path's VJP)."""
+    world, s, con = contact_state
+
+    def loss(vy0):
+        s2 = s._replace(vy=s.vy + vy0)
+        out = solve_contacts_pallas(
+            world, s2, con, 3, 2, 0.01, world.config.contact, interpret=True
+        )
+        return (out.vy**2).mean()
+
+    g = jax.grad(loss)(jnp.zeros(()))
+    assert np.isfinite(np.asarray(g))
