@@ -209,16 +209,13 @@ def _pp_manifold_bm(ax, ay, ema, bx, by, emb):
     nrefx = jnp.where(ref_is_a, -n_x, n_x)
     nrefy = jnp.where(ref_is_a, -n_y, n_y)
 
-    # incident edge on the other polygon: most anti-parallel to n_ref,
-    # i.e. min dot(normal, n_ref) == max dot(normal, -n_ref).
-    # incident-on-A is used when B owns the reference (n_ref = +n_ba) and
-    # vice versa.
-    _, ia0x, ia0y, ia1x, ia1y = best_edge(nax, nay, aok, ax, ay, -n_x, -n_y)
-    _, ib0x, ib0y, ib1x, ib1y = best_edge(nbx, nby, bok, bx, by, n_x, n_y)
-    i0x = jnp.where(ref_is_a, ib0x, ia0x)
-    i0y = jnp.where(ref_is_a, ib0y, ia0y)
-    i1x = jnp.where(ref_is_a, ib1x, ia1x)
-    i1y = jnp.where(ref_is_a, ib1y, ia1y)
+    # incident edge on the other polygon: most anti-parallel to n_ref =
+    # that polygon's best-aligned edge along its own outward direction —
+    # identical to the candidate reference edges above, selected oppositely
+    i0x = jnp.where(ref_is_a, br0x, ar0x)
+    i0y = jnp.where(ref_is_a, br0y, ar0y)
+    i1x = jnp.where(ref_is_a, br1x, ar1x)
+    i1y = jnp.where(ref_is_a, br1y, ar1y)
 
     # clip against the reference face's side planes
     tx, ty = r1x - r0x, r1y - r0y
@@ -853,6 +850,13 @@ def physics_core(
 ) -> tuple[_SoA, ContactsBM]:
     """The full physics step in the batch-minor frame (integrate + gravity +
     collide + solve + joints).  Plane-space rollouts scan this directly."""
+    if _pallas_fused_ok(world, s):
+        from parallax_tpu.ops.pallas_step import physics_core_pallas
+
+        return physics_core_pallas(
+            world, s, terrain_override=terrain_override, dt=dt, accel=accel
+        )
+
     cfg = world.config
     dt = cfg.dt if dt is None else dt
     gx, gy = cfg.gravity
@@ -909,5 +913,18 @@ def _pallas_ok(world, s) -> bool:
     from parallax_tpu.ops.pallas_solver import TILE_B
 
     if s.vx.shape[-1] % TILE_B != 0:
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _pallas_fused_ok(world, s) -> bool:
+    if not world.config.use_pallas_fused:
+        return False
+    from parallax_tpu.ops.pallas_solver import TILE_B
+    from parallax_tpu.ops.pallas_step import supports_fused_step
+
+    if s.vx.shape[-1] % TILE_B != 0:
+        return False
+    if not supports_fused_step(world):
         return False
     return jax.default_backend() == "tpu"

@@ -64,6 +64,11 @@ class WorldConfig:
     # only; requires batch % ops.pallas_solver.TILE_B == 0 and a TPU
     # backend — silently falls back otherwise)
     use_pallas_solver: bool = False
+    # run the ENTIRE physics step (collide + solve + joints) as one Pallas
+    # kernel — polygon-only worlds, batched path; contact geometry is not
+    # exported (only per-lane activity), so envs needing penetration data
+    # should keep this off
+    use_pallas_fused: bool = False
 
 
 @dataclasses.dataclass

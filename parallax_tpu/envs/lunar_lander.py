@@ -223,6 +223,10 @@ class LunarLander(BatchedEnvironmentMixin, Environment):
             position_iterations=config.position_iterations,
             joint_mode="gauss_seidel",
             use_pallas_solver=True,
+            # the fully-fused step kernel (ops.pallas_step) also works here
+            # but measures slower than collide-in-XLA + solver-in-Pallas
+            # (11.1M vs 12.3M steps/s); keep it opt-in
+            use_pallas_fused=False,
         )
         self.world, self._init_bodies = World.build(
             [lander, right_leg, left_leg, ground], wc, joints=joints

@@ -188,13 +188,31 @@ def _solver_kernel(
     opx_ref, opy_ref, ovx_ref, ovy_ref, oang_ref, oom_ref,
     *, iterations, position_iterations, dt, config,
 ):
+    opx, opy, ovx, ovy, oang, oom = solve_arrays(
+        const_ref[:], oh_a_ref[:], oh_b_ref[:], oh_p_ref[:],
+        acc_a_ref[:], acc_b_ref[:],
+        pen_x_ref[:], pen_y_ref[:], pt_x_ref[:], pt_y_ref[:], act_ref[:],
+        px_ref[:], py_ref[:], vx_ref[:], vy_ref[:], ang_ref[:], om_ref[:],
+        iterations=iterations, position_iterations=position_iterations,
+        dt=dt, config=config,
+    )
+    opx_ref[:] = opx
+    opy_ref[:] = opy
+    ovx_ref[:] = ovx
+    ovy_ref[:] = ovy
+    oang_ref[:] = oang
+    oom_ref[:] = oom
+
+
+def solve_arrays(
+    lane, oh_a, oh_b, oh_p, acc_a, acc_b,
+    pen_x, pen_y, pt_x, pt_y, act,
+    px, py, vx, vy, ang, om,
+    *, iterations, position_iterations, dt, config,
+):
+    """The solver on plain arrays — shared by the standalone kernel and the
+    fused step kernel (ops.pallas_step)."""
     f32 = jnp.float32
-    lane = const_ref[:]
-    oh_a = oh_a_ref[:]
-    oh_b = oh_b_ref[:]
-    oh_p = oh_p_ref[:]
-    acc_a = acc_a_ref[:]
-    acc_b = acc_b_ref[:]
 
     def ga(x):  # gather body rows for lane side A: [C, TB]
         return jnp.dot(oh_a, x, preferred_element_type=f32)
@@ -214,16 +232,7 @@ def _solver_kernel(
     is_lead = lane[_R_IS_LEAD][:, None] > 0
     has_p = lane[_R_HAS_P][:, None] > 0
 
-    pen_x = pen_x_ref[:]
-    pen_y = pen_y_ref[:]
-    pt_x = pt_x_ref[:]
-    pt_y = pt_y_ref[:]
-    active = act_ref[:] > 0
-    px = px_ref[:]
-    py = py_ref[:]
-    vx = vx_ref[:]
-    vy = vy_ref[:]
-    om = om_ref[:]
+    active = act > 0
 
     d2 = pen_x * pen_x + pen_y * pen_y
     inv_d = jax.lax.rsqrt(jnp.where(d2 <= 0, 1.0, d2))
@@ -353,7 +362,7 @@ def _solver_kernel(
 
     opx = px
     opy = py
-    oang = ang_ref[:]
+    oang = ang
     if split:
         pvx = jnp.zeros_like(vx)
         pvy = jnp.zeros_like(vy)
@@ -369,9 +378,4 @@ def _solver_kernel(
         opy = opy + pvy * dt
         oang = oang + pom * dt
 
-    opx_ref[:] = opx
-    opy_ref[:] = opy
-    ovx_ref[:] = vx
-    ovy_ref[:] = vy
-    oang_ref[:] = oang
-    oom_ref[:] = om
+    return opx, opy, vx, vy, oang, om

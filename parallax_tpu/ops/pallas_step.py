@@ -1,0 +1,570 @@
+"""Fused Pallas TPU step kernel for polygon-only worlds.
+
+One kernel launch per world-tile runs the ENTIRE physics step in VMEM:
+
+    integrate + gravity -> world vertices -> SAT manifold narrow phase ->
+    sequential-impulse solve (via ops.pallas_solver.solve_arrays) ->
+    spring-damper joints
+
+Applicable when every pair group uses the polygon-polygon kernel (the
+LunarLander world qualifies: lander/legs/terrain are all polygons);
+``physics_core`` falls back to the split path otherwise.  Static parts may
+carry per-world vertex overrides (terrain planes) supplied as inputs.
+
+Like the solver kernel, all lane<->body indexing is static (unrolled loops
+and one-hot MXU matmuls) and the backward pass routes through the JAX
+implementation via custom_vjp.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from parallax_tpu.geometry.shapes import POLYGON, edge_mask_for
+from parallax_tpu.ops.pallas_solver import TILE_B, _build_operands, solve_arrays
+
+INF = float("inf")
+
+
+def supports_fused_step(world) -> bool:
+    return all(g.kernel == "pp" for g in world.table.groups) and (
+        world.config.solver_mode == "block"
+    )
+
+
+def _static_step_info(world, override_parts):
+    """Host-side static description for the kernel."""
+    parts = world.parts
+    V = parts.max_verts
+    lv = np.asarray(parts.verts)  # [P, V, 2]
+    body_of = np.asarray(parts.body)
+    movable = [not b for b in world.static_bodies]
+
+    groups = []
+    for g in world.table.groups:
+        ia, ib = list(g.part_a), list(g.part_b)
+        Va = max(parts.nverts[i] for i in ia)
+        Vb = max(parts.nverts[i] for i in ib)
+        ema = np.stack([edge_mask_for(parts.nverts[i], Va) for i in ia]).astype(
+            np.float32
+        )
+        emb = np.stack([edge_mask_for(parts.nverts[i], Vb) for i in ib]).astype(
+            np.float32
+        )
+        groups.append(dict(ia=ia, ib=ib, Va=Va, Vb=Vb, ema=ema, emb=emb))
+
+    joints = world.joints
+    # convert the (concrete) joint leaves to numpy BEFORE indexing: slicing
+    # a jnp constant inside an outer trace would create tracers
+    anc_a = np.asarray(joints.anchor_a)
+    anc_b = np.asarray(joints.anchor_b)
+    kp_np = np.asarray(joints.kp)
+    kd_np = np.asarray(joints.kd)
+    v0_np = np.asarray(joints.v0)
+    jrows = []
+    for j in range(joints.n_joints):
+        jrows.append(
+            dict(
+                a=joints.body_a[j],
+                b=joints.body_b[j],
+                ax=float(anc_a[j, 0]),
+                ay=float(anc_a[j, 1]),
+                bx=float(anc_b[j, 0]),
+                by=float(anc_b[j, 1]),
+                kp=float(kp_np[j]),
+                kd=float(kd_np[j]),
+                v0=float(v0_np[j]),
+            )
+        )
+    params = world.params
+    return dict(
+        V=V,
+        lv=lv,
+        body_of=body_of,
+        movable=movable,
+        groups=groups,
+        joints=jrows,
+        override=set(override_parts),
+        im=(1.0 / np.asarray(params.mass)).astype(np.float32),
+        ii=(1.0 / np.asarray(params.inertia)).astype(np.float32),
+        n=world.n_bodies,
+    )
+
+
+def _world_verts_rows(st, cos_rows, sin_rows, px, py, terrain_x, terrain_y, idx_list):
+    """World-frame vertex planes for the parts in idx_list -> ([G,V,TB] x, y).
+
+    Static unroll per part; override parts read terrain input rows."""
+    lv = st["lv"]
+    body_of = st["body_of"]
+    override = st["override"]
+    order = sorted(override)
+    rows_x, rows_y = [], []
+    for p in idx_list:
+        bo = int(body_of[p])
+        if p in override:
+            k = order.index(p)
+            wx = terrain_x[k]  # [V, TB]
+            wy = terrain_y[k]
+            rows_x.append(wx)
+            rows_y.append(wy)
+            continue
+        c = cos_rows[bo]  # [TB]
+        sn = sin_rows[bo]
+        vx_rows, vy_rows = [], []
+        for v in range(st["V"]):
+            lx = float(lv[p, v, 0])
+            ly = float(lv[p, v, 1])
+            vx_rows.append(c * lx - sn * ly + px[bo])
+            vy_rows.append(sn * lx + c * ly + py[bo])
+        rows_x.append(jnp.stack(vx_rows))
+        rows_y.append(jnp.stack(vy_rows))
+    return jnp.stack(rows_x), jnp.stack(rows_y)
+
+
+def _shift1(x):
+    """roll(x, -1, axis=1) via slicing (pallas-safe)."""
+    return jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
+
+
+BIG = 1e30
+
+
+def _pp_manifold_arrays(ax, ay, ema, bx, by, emb):
+    """SAT + clip manifold on arrays (pallas-safe port of
+
+    engine.batched._pp_manifold_bm).  Masks are f32 [G, V] arrays applied
+    arithmetically — Mosaic's TPU lowering is touchy about 3-D booleans, so
+    the 3-D mask algebra uses 0/1 floats and +/-BIG offsets instead of
+    jnp.where on bool tensors."""
+    G, Va, TB = ax.shape
+    Vb = bx.shape[1]
+
+    def edge_axes(wx, wy, em):
+        ex = _shift1(wx) - wx
+        ey = _shift1(wy) - wy
+        nx, ny = ey, -ex
+        ln2 = nx * nx + ny * ny
+        safe = jnp.maximum(ln2, 1e-24)
+        inv = jax.lax.rsqrt(safe)
+        # 0/1 float validity: static edge mask AND non-degenerate length
+        okf = em[:, :, None] * jnp.minimum(ln2 * 1e24, 1.0)
+        okf = jnp.minimum(okf, 1.0)
+        return nx * inv, ny * inv, okf
+
+    nax, nay, aokf = edge_axes(ax, ay, ema)
+    nbx, nby, bokf = edge_axes(bx, by, emb)
+    NX = jnp.concatenate([nax, nbx], axis=1)
+    NY = jnp.concatenate([nay, nby], axis=1)
+    OKF = jnp.concatenate([aokf, bokf], axis=1)
+
+    def minmax(wx, wy):
+        mn = mx = None
+        for v in range(wx.shape[1]):
+            p = NX * wx[:, v : v + 1, :] + NY * wy[:, v : v + 1, :]
+            mn = p if mn is None else jnp.minimum(mn, p)
+            mx = p if mx is None else jnp.maximum(mx, p)
+        return mn, mx
+
+    mna, mxa = minmax(ax, ay)
+    mnb, mxb = minmax(bx, by)
+    o_pos = mxb - mna
+    o_neg = mxa - mnb
+    ovl = jnp.minimum(o_pos, o_neg) + (1.0 - OKF) * BIG
+
+    best = jnp.full((G, TB), BIG)
+    bx_ax = jnp.zeros((G, TB))
+    by_ax = jnp.zeros((G, TB))
+    bsign = jnp.ones((G, TB))
+    for a in range(Va + Vb):
+        o = ovl[:, a, :]
+        take = o < best
+        best = jnp.where(take, o, best)
+        bx_ax = jnp.where(take, NX[:, a, :], bx_ax)
+        by_ax = jnp.where(take, NY[:, a, :], by_ax)
+        bsign = jnp.where(
+            take, jnp.where(o_pos[:, a, :] <= o_neg[:, a, :], 1.0, -1.0), bsign
+        )
+    active = (best >= 0) & (best < BIG * 0.5)
+    depth = jnp.maximum(jnp.minimum(best, BIG), 0.0)
+    n_x = bx_ax * bsign
+    n_y = by_ax * bsign
+
+    def best_edge(nx_, ny_, ok_, wx_, wy_, dx, dy):
+        bestv = jnp.full((G, TB), -BIG)
+        r0x = r0y = r1x = r1y = jnp.zeros((G, TB))
+        wnx = _shift1(wx_)
+        wny = _shift1(wy_)
+        for v in range(wx_.shape[1]):
+            okv = ok_[:, v, :]
+            al = (nx_[:, v, :] * dx + ny_[:, v, :] * dy) * okv - (1.0 - okv) * BIG
+            take = al > bestv
+            bestv = jnp.where(take, al, bestv)
+            r0x = jnp.where(take, wx_[:, v, :], r0x)
+            r0y = jnp.where(take, wy_[:, v, :], r0y)
+            r1x = jnp.where(take, wnx[:, v, :], r1x)
+            r1y = jnp.where(take, wny[:, v, :], r1y)
+        return bestv, r0x, r0y, r1x, r1y
+
+    al_a, ar0x, ar0y, ar1x, ar1y = best_edge(nax, nay, aokf, ax, ay, -n_x, -n_y)
+    al_b, br0x, br0y, br1x, br1y = best_edge(nbx, nby, bokf, bx, by, n_x, n_y)
+    ref_is_a = al_a >= al_b
+    r0x = jnp.where(ref_is_a, ar0x, br0x)
+    r0y = jnp.where(ref_is_a, ar0y, br0y)
+    r1x = jnp.where(ref_is_a, ar1x, br1x)
+    r1y = jnp.where(ref_is_a, ar1y, br1y)
+    nrefx = jnp.where(ref_is_a, -n_x, n_x)
+    nrefy = jnp.where(ref_is_a, -n_y, n_y)
+
+    # incident edge = the other polygon's best-aligned edge along its own
+    # outward direction — exactly the candidate reference edges computed
+    # above, selected the opposite way
+    i0x = jnp.where(ref_is_a, br0x, ar0x)
+    i0y = jnp.where(ref_is_a, br0y, ar0y)
+    i1x = jnp.where(ref_is_a, br1x, ar1x)
+    i1y = jnp.where(ref_is_a, br1y, ar1y)
+
+    tx0 = r1x - r0x
+    ty0 = r1y - r0y
+    tl = jax.lax.rsqrt(jnp.maximum(tx0 * tx0 + ty0 * ty0, 1e-24))
+    tx0, ty0 = tx0 * tl, ty0 * tl
+
+    def clip(p0x, p0y, p1x, p1y, anx, any_, dx, dy):
+        d0 = (p0x - anx) * dx + (p0y - any_) * dy
+        d1 = (p1x - anx) * dx + (p1y - any_) * dy
+        denom = d0 - d1
+        frac = d0 / jnp.where(denom == 0, 1.0, denom)
+        inx = p0x + frac * (p1x - p0x)
+        iny = p0y + frac * (p1y - p0y)
+        c01 = (d0 < 0) & (d1 >= 0)
+        c10 = (d1 < 0) & (d0 >= 0)
+        q0x = jnp.where(c01, inx, p0x)
+        q0y = jnp.where(c01, iny, p0y)
+        q1x = jnp.where(c10, inx, p1x)
+        q1y = jnp.where(c10, iny, p1y)
+        return q0x, q0y, q1x, q1y
+
+    c0x, c0y, c1x, c1y = clip(i0x, i0y, i1x, i1y, r0x, r0y, tx0, ty0)
+    c0x, c0y, c1x, c1y = clip(c0x, c0y, c1x, c1y, r1x, r1y, -tx0, -ty0)
+
+    d0 = -((c0x - r0x) * nrefx + (c0y - r0y) * nrefy)
+    d1 = -((c1x - r0x) * nrefx + (c1y - r0y) * nrefy)
+
+    keep_tol = jnp.maximum(depth, 1e-4)
+    k0 = d0 >= -keep_tol
+    k1 = d1 >= -keep_tol
+    none_kept = (~k0) & (~k1)
+    # pure boolean algebra — jnp.where(bool_mask, True, bool_array) lowers
+    # through an i8->i1 truncation Mosaic rejects
+    a0 = active & (k0 | none_kept)
+    a1 = active & k1
+    ld0 = jnp.where(none_kept, depth, jnp.maximum(d0, 1e-6))
+    ld1 = jnp.where(none_kept, depth, jnp.maximum(d1, 1e-6))
+
+    pen_x0 = n_x * ld0 * a0
+    pen_y0 = n_y * ld0 * a0
+    pen_x1 = n_x * ld1 * a1
+    pen_y1 = n_y * ld1 * a1
+
+    # interleave lanes (pair0-pt0, pair0-pt1, ...) to match the pair table
+    def interleave(x0, x1):
+        return jnp.stack([x0, x1], axis=1).reshape(2 * G, TB)
+
+    return (
+        interleave(pen_x0, pen_x1),
+        interleave(pen_y0, pen_y1),
+        interleave(c0x, c1x),
+        interleave(c0y, c1y),
+        interleave(a0.astype(ax.dtype), a1.astype(ax.dtype)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# kernel assembly
+# ---------------------------------------------------------------------------
+
+
+def _step_kernel(
+    const_ref, oh_a_ref, oh_b_ref, oh_p_ref, acc_a_ref, acc_b_ref,
+    masks_ref, tx_ref, ty_ref,
+    px_ref, py_ref, vx_ref, vy_ref, ang_ref, om_ref,
+    opx_ref, opy_ref, ovx_ref, ovy_ref, oang_ref, oom_ref, oact_ref,
+    *, st, mask_slices, iterations, position_iterations, dt, gx, gy,
+    symplectic, config, n_terrain,
+):
+    n = st["n"]
+    V = st["V"]
+    px = px_ref[:]
+    py = py_ref[:]
+    vx = vx_ref[:]
+    vy = vy_ref[:]
+    ang = ang_ref[:]
+    om = om_ref[:]
+
+    def grav(vx, vy):
+        # .at[].add lowers to scatter-add (unsupported in Pallas TPU):
+        # rebuild via per-row stacking instead
+        rx = [vx[b] for b in range(n)]
+        ry = [vy[b] for b in range(n)]
+        for b in range(n):
+            if st["movable"][b]:
+                if gx:
+                    rx[b] = rx[b] + gx * dt
+                if gy:
+                    ry[b] = ry[b] + gy * dt
+        return jnp.stack(rx), jnp.stack(ry)
+
+    def integrate(px, py, ang):
+        return px + vx * dt, py + vy * dt, ang + om * dt
+
+    if symplectic:
+        vx, vy = grav(vx, vy)
+        px, py, ang = integrate(px, py, ang)
+    else:
+        px, py, ang = integrate(px, py, ang)
+        vx, vy = grav(vx, vy)
+
+    cos_rows = [jnp.cos(ang[b]) for b in range(n)]
+    sin_rows = [jnp.sin(ang[b]) for b in range(n)]
+
+    TB = px.shape[-1]
+    terrain_x = tx_ref[:].reshape(n_terrain, V, TB) if n_terrain else None
+    terrain_y = ty_ref[:].reshape(n_terrain, V, TB) if n_terrain else None
+    masks = masks_ref[:]  # [n_groups_masks_rows, Vmax]
+
+    pen_x_parts, pen_y_parts, pt_x_parts, pt_y_parts, act_parts = [], [], [], [], []
+    for gi, g in enumerate(st["groups"]):
+        ax, ay = _world_verts_rows(
+            st, cos_rows, sin_rows, px, py, terrain_x, terrain_y, g["ia"]
+        )
+        bx, by = _world_verts_rows(
+            st, cos_rows, sin_rows, px, py, terrain_x, terrain_y, g["ib"]
+        )
+        ax, ay = ax[:, : g["Va"], :], ay[:, : g["Va"], :]
+        bx, by = bx[:, : g["Vb"], :], by[:, : g["Vb"], :]
+        (sa, ea), (sb, eb) = mask_slices[gi]
+        ema = masks[sa:ea, : g["Va"]]
+        emb = masks[sb:eb, : g["Vb"]]
+        penx, peny, ptx, pty, act = _pp_manifold_arrays(ax, ay, ema, bx, by, emb)
+        pen_x_parts.append(penx)
+        pen_y_parts.append(peny)
+        pt_x_parts.append(ptx)
+        pt_y_parts.append(pty)
+        act_parts.append(act)
+
+    pen_x = jnp.concatenate(pen_x_parts, axis=0)
+    pen_y = jnp.concatenate(pen_y_parts, axis=0)
+    pt_x = jnp.concatenate(pt_x_parts, axis=0)
+    pt_y = jnp.concatenate(pt_y_parts, axis=0)
+    act = jnp.concatenate(act_parts, axis=0)
+
+    px, py, vx, vy, ang, om = solve_arrays(
+        const_ref[:], oh_a_ref[:], oh_b_ref[:], oh_p_ref[:],
+        acc_a_ref[:], acc_b_ref[:],
+        pen_x, pen_y, pt_x, pt_y, act,
+        px, py, vx, vy, ang, om,
+        iterations=iterations, position_iterations=position_iterations,
+        dt=dt, config=config,
+    )
+
+    # spring-damper joints (reference sequential order, static unroll);
+    # row lists instead of .at[].add (no scatter support in Pallas TPU)
+    vx_r = [vx[b] for b in range(n)]
+    vy_r = [vy[b] for b in range(n)]
+    om_r = [om[b] for b in range(n)]
+    for j in st["joints"]:
+        a, b = j["a"], j["b"]
+        ca, sa_ = jnp.cos(ang[a]), jnp.sin(ang[a])
+        cb, sb_ = jnp.cos(ang[b]), jnp.sin(ang[b])
+        pax = px[a] + ca * j["ax"] - sa_ * j["ay"]
+        pay = py[a] + sa_ * j["ax"] + ca * j["ay"]
+        pbx = px[b] + cb * j["bx"] - sb_ * j["by"]
+        pby = py[b] + sb_ * j["bx"] + cb * j["by"]
+        rax, ray = pax - px[a], pay - py[a]
+        rbx, rby = pbx - px[b], pby - py[b]
+        vax = vx_r[a] - ray * om_r[a]
+        vay = vy_r[a] + rax * om_r[a]
+        vbx = vx_r[b] - rby * om_r[b]
+        vby = vy_r[b] + rbx * om_r[b]
+        dpx, dpy = pax - pbx, pay - pby
+        dvx_, dvy_ = vax - vbx, vay - vby
+        dvn = jnp.sqrt(jnp.maximum(dvx_ * dvx_ + dvy_ * dvy_, 1e-30))
+        Jx = dpx * j["kp"] + dvx_ * (dvn + j["v0"]) * j["kd"]
+        Jy = dpy * j["kp"] + dvy_ * (dvn + j["v0"]) * j["kd"]
+        im_a = float(st["im"][a])
+        im_b = float(st["im"][b])
+        ii_a = float(st["ii"][a])
+        ii_b = float(st["ii"][b])
+        vx_r[a] = vx_r[a] - Jx * im_a
+        vx_r[b] = vx_r[b] + Jx * im_b
+        vy_r[a] = vy_r[a] - Jy * im_a
+        vy_r[b] = vy_r[b] + Jy * im_b
+        om_r[a] = om_r[a] - (rax * Jy - ray * Jx) * ii_a
+        om_r[b] = om_r[b] + (rbx * Jy - rby * Jx) * ii_b
+    vx = jnp.stack(vx_r)
+    vy = jnp.stack(vy_r)
+    om = jnp.stack(om_r)
+
+    opx_ref[:] = px
+    opy_ref[:] = py
+    ovx_ref[:] = vx
+    ovy_ref[:] = vy
+    oang_ref[:] = ang
+    oom_ref[:] = om
+    oact_ref[:] = act
+
+
+def _assemble(world, terrain_parts, dt, accel, interpret):
+    """Build the pallas_call for this world (cached per world table id)."""
+    from parallax_tpu.engine.batched import ContactsBM  # noqa: F401
+
+    cfg = world.config
+    dt = cfg.dt if dt is None else dt
+    gx, gy = cfg.gravity
+    if accel is not None:
+        gx = gx + accel[0]
+        gy = gy + accel[1]
+
+    st = _static_step_info(world, terrain_parts)
+    ops = _build_operands(world)
+    C, n = ops["C"], ops["n"]
+    V = st["V"]
+    n_terrain = len(terrain_parts)
+
+    # pack the per-group edge masks row-wise into one [rows, Vmax] f32 input
+    Vmax = max(max(g["Va"], g["Vb"]) for g in st["groups"])
+    rows = []
+    mask_slices = []
+    for g in st["groups"]:
+        sa = len(rows)
+        for r in g["ema"]:
+            rows.append(np.pad(r, (0, Vmax - len(r))))
+        ea = len(rows)
+        sb = len(rows)
+        for r in g["emb"]:
+            rows.append(np.pad(r, (0, Vmax - len(r))))
+        eb = len(rows)
+        mask_slices.append(((sa, ea), (sb, eb)))
+    masks = jnp.asarray(np.stack(rows).astype(np.float32))
+
+    kernel = functools.partial(
+        _step_kernel,
+        st=st,
+        mask_slices=tuple(mask_slices),
+        iterations=cfg.solver_iterations,
+        position_iterations=cfg.position_iterations,
+        dt=float(dt),
+        gx=float(gx),
+        gy=float(gy),
+        symplectic=cfg.integrator == "symplectic",
+        config=cfg.contact,
+        n_terrain=n_terrain,
+    )
+    return kernel, st, ops, masks, n_terrain
+
+
+def physics_core_pallas(world, s, terrain_override=None, dt=None, accel=None,
+                        interpret=False):
+    """Fused-step twin of ``engine.batched.physics_core`` (state only; the
+
+    contact buffer is internal).  Returns the stepped ``_SoA``."""
+    tparts = tuple(sorted(terrain_override)) if terrain_override else ()
+    kernel, st, ops, masks, n_terrain = _assemble(world, tparts, dt, accel, interpret)
+    n = st["n"]
+    V = st["V"]
+    B = s.vx.shape[-1]
+    assert B % TILE_B == 0
+
+    if n_terrain:
+        tx = jnp.concatenate([terrain_override[p][0] for p in tparts], axis=0)
+        ty = jnp.concatenate([terrain_override[p][1] for p in tparts], axis=0)
+    else:
+        tx = jnp.zeros((1, B), s.vx.dtype)
+        ty = jnp.zeros((1, B), s.vx.dtype)
+
+    def tile(rows):
+        return pl.BlockSpec((rows, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def whole(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
+
+    grid = (B // TILE_B,)
+    C = ops["C"]
+    out_shapes = [jax.ShapeDtypeStruct((n, B), s.vx.dtype) for _ in range(6)] + [
+        jax.ShapeDtypeStruct((C, B), s.vx.dtype)
+    ]
+
+    @jax.custom_vjp
+    def _step(args):
+        tx_, ty_, px, py, vx, vy, ang, om = args
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=(
+                [whole(ops["lane_const"]), whole(ops["oh_a"]), whole(ops["oh_b"]),
+                 whole(ops["oh_p"]), whole(ops["acc_a"]), whole(ops["acc_b"]),
+                 whole(masks)]
+                + [tile(tx_.shape[0]), tile(ty_.shape[0])]
+                + [tile(n)] * 6
+            ),
+            out_specs=[tile(n)] * 6 + [tile(C)],
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(
+            ops["lane_const"], ops["oh_a"], ops["oh_b"], ops["oh_p"],
+            ops["acc_a"], ops["acc_b"], masks,
+            tx_, ty_, px, py, vx, vy, ang, om,
+        )
+        return outs
+
+    def _fwd(args):
+        return _step(args), args
+
+    def _bwd(res, g):
+        from parallax_tpu.engine.batched import _SoA, physics_core
+
+        tx_, ty_, px, py, vx, vy, ang, om = res
+
+        def jax_path(tx_, ty_, px, py, vx, vy, ang, om):
+            override = None
+            if n_terrain:
+                override = {}
+                off = 0
+                for p in tparts:
+                    override[p] = (tx_[off : off + V], ty_[off : off + V])
+                    off += V
+            out, con = physics_core(
+                world,
+                _SoA(px=px, py=py, vx=vx, vy=vy, angle=ang, omega=om),
+                dt=dt,
+                accel=accel,
+                terrain_override=override,
+            )
+            return (
+                out.px, out.py, out.vx, out.vy, out.angle, out.omega,
+                con.active.astype(out.px.dtype),
+            )
+
+        _, vjp = jax.vjp(jax_path, tx_, ty_, px, py, vx, vy, ang, om)
+        return (tuple(vjp(tuple(g))),)
+
+    _step.defvjp(_fwd, _bwd)
+
+    from parallax_tpu.engine.batched import ContactsBM, _SoA
+
+    px, py, vx, vy, ang, om, act = _step(
+        (tx, ty, s.px, s.py, s.vx, s.vy, s.angle, s.omega)
+    )
+    zero = jnp.zeros_like(act)
+    # contact geometry stays inside the kernel; only activity is exported
+    con = ContactsBM(
+        pen_x=zero, pen_y=zero, pt_x=zero, pt_y=zero,
+        active=act > 0, weight=jnp.ones_like(act),
+    )
+    return _SoA(px=px, py=py, vx=vx, vy=vy, angle=ang, omega=om), con

@@ -65,3 +65,48 @@ def test_pallas_solver_custom_vjp(contact_state):
 
     g = jax.grad(loss)(jnp.zeros(()))
     assert np.isfinite(np.asarray(g))
+
+
+def test_fused_step_kernel_matches_physics_core(contact_state):
+    """The fully-fused step kernel (ops.pallas_step) in interpreter mode."""
+    from parallax_tpu.engine.batched import physics_core, _to_soa
+    from parallax_tpu.ops.pallas_step import (
+        physics_core_pallas,
+        supports_fused_step,
+    )
+
+    env = LunarLander()
+    world = env.world
+    assert supports_fused_step(world)
+    B = TILE_B
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(1), B))
+    bodies = states.bodies.replace(
+        pos=states.bodies.pos - jnp.asarray([0.0, 6.2])[None, None, :],
+    )
+    states = states.replace(bodies=bodies)
+    step = jax.jit(env.step_batch)
+    for _ in range(30):
+        states, _ = step(states, jnp.zeros((B, 2)))
+    s = _to_soa(states.bodies)
+    tflat = jnp.swapaxes(states.terrain, 0, 1)
+    tp = tflat.reshape(7, 8, 2, B)
+    override = {
+        p: (tp[i, :, 0, :], tp[i, :, 1, :])
+        for i, p in enumerate(env._ground_parts)
+    }
+    ref_s, ref_c = jax.jit(
+        lambda s: physics_core(world, s, terrain_override=override)
+    )(s)
+    got_s, got_c = jax.jit(
+        lambda s: physics_core_pallas(
+            world, s, terrain_override=override, interpret=True
+        )
+    )(s)
+    for f in ("px", "py", "vx", "vy", "angle", "omega"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref_s, f)), np.asarray(getattr(got_s, f)),
+            atol=1e-5,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(ref_c.active), np.asarray(got_c.active)
+    )
