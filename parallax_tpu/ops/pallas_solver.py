@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from parallax_tpu.dynamics.impulses import ContactSolverConfig
 
-TILE_B = 512
+TILE_B = 1024  # 2048 exceeds the 16MB VMEM scoped limit; 512 underutilizes
 
 # rows of the packed lane-constant input
 _R_IM_A, _R_IM_B, _R_II_A, _R_II_B, _R_E, _R_MU, _R_IS_LEAD, _R_HAS_P = range(8)

@@ -186,3 +186,29 @@ def test_train_step_gradient_psum_crosses_devices():
 
     hlo = jax.jit(train_step).lower(params, opt_state, states).compile().as_text()
     assert re.search(r"all-reduce", hlo), "gradient reduction must psum over the mesh"
+
+
+def test_config5_robocup_sharded_with_grad():
+    """BASELINE config 5: RoboCup multi-agent env, batch sharded over the
+    mesh (4+ devices), with a gradient-through-step check."""
+    from parallax_tpu.envs.robocup import RoboCup, RoboCupConfig
+    from parallax_tpu.parallel.mesh import make_world_mesh, shard_batch
+
+    env = RoboCup(RoboCupConfig(n_robots_per_team=2))
+    mesh = make_world_mesh()
+    assert mesh.devices.size >= 4
+    B = 16
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(0), B))
+    states = shard_batch(states, mesh)
+
+    def mean_ball_progress(push):
+        def policy(_, obs):
+            a = jnp.zeros((obs.shape[0], env.action_size))
+            return a.at[:, 0].set(push)  # blue robot 0: vx command
+
+        final, traj = env.rollout_batch(states, policy, 10)
+        return traj.reward.mean()
+
+    val, g = jax.jit(jax.value_and_grad(mean_ball_progress))(jnp.asarray(-0.5))
+    assert np.isfinite(float(val))
+    assert np.isfinite(float(g))
