@@ -14,6 +14,8 @@ counts per case (CPU CI) but cover every pair type including the ones the
 reference skipped ("not implemented", test_collisions.py:181-451).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -39,7 +41,10 @@ from parallax_tpu.geometry.shapes import (
     support_polygon,
 )
 
-N = 2000
+# Random-sweep width.  The reference runs its invariant oracles at up to
+# 10M samples in "heavy" CI (test_collisions.py); scale up the same way
+# with e.g. PARALLAX_TEST_N=1000000 for a soak run.
+N = int(os.environ.get("PARALLAX_TEST_N", 2000))
 
 
 def sup_poly(geom, d):
