@@ -15,11 +15,16 @@ import time
 import jax
 import jax.numpy as jnp
 
+try:  # persistent compile cache: repeat driver runs skip the ~1 min compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/parallax_jax_cache")
+except Exception:
+    pass
+
 BATCH = 8192
 TARGET = 10_000_000.0
 
 
-def bench_env(env, name, inner=100):
+def bench_env(env, name, inner=500, chain=3):
     keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
     states = env.reset_fn_batch(keys)
     act_dim = env.action_size
@@ -29,19 +34,25 @@ def bench_env(env, name, inner=100):
 
     @jax.jit
     def run(states):
-        states, _traj = env.rollout_batch(states, policy, inner)
-        return states
+        states, traj = env.rollout_batch(states, policy, inner)
+        # scalar witness keeps per-step obs/reward/done computation live
+        # (not DCE'd) without materializing [T, B] buffers in HBM
+        return states, traj.reward.sum() + traj.obs.sum() + traj.done.sum()
 
-    states = run(states)
-    jax.block_until_ready(states)
+    states, w = run(states)
+    jax.block_until_ready(w)
 
+    # Chain several dispatches per timed region with ONE device sync at the
+    # end: a per-call block measures host<->device round-trip latency (large
+    # under a tunneled TPU), not step throughput.
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        states = run(states)
-        jax.block_until_ready(states)
+        for _ in range(chain):
+            states, w = run(states)
+        jax.block_until_ready(w)
         dt = time.perf_counter() - t0
-        best = max(best, BATCH * inner / dt)
+        best = max(best, BATCH * inner * chain / dt)
 
     return {
         "metric": f"{name}_env_steps_per_sec_per_chip_batch8192",

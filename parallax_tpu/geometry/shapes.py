@@ -216,6 +216,13 @@ class Parts(struct.PyTreeNode):
         )
         return lo, hi
 
+    def centers(self):
+        """AABB-midpoint per part [.., P, 2] — the reference's center
+        approximation (``AbstractShape.get_center``, _abstract_shapes.py:43:
+        midpoint of the support-derived bounding box)."""
+        lo, hi = self.extents()
+        return 0.5 * (lo + hi)
+
 
 # ---------------------------------------------------------------------------
 # Support functions over raw per-part geometry.

@@ -99,3 +99,21 @@ def test_transform2_jit_grad():
 
     g = jax.jit(jax.grad(loss))(jnp.array(0.3))
     assert np.isfinite(np.asarray(g))
+
+
+def test_parts_extents_and_centers():
+    from parallax_tpu.geometry.shapes import Parts, box, circle, polygon
+
+    p = Parts.from_specs(
+        [circle(0.5, (1.0, 2.0)), box((-1.0, -2.0), (3.0, 4.0)),
+         polygon([(0.0, 0.0), (2.0, 0.0), (1.0, 3.0)])],
+        [0, 1, 2],
+    )
+    lo, hi = p.extents()
+    np.testing.assert_allclose(np.asarray(lo),
+                               [[0.5, 1.5], [-1.0, -2.0], [0.0, 0.0]])
+    np.testing.assert_allclose(np.asarray(hi),
+                               [[1.5, 2.5], [3.0, 4.0], [2.0, 3.0]])
+    # get_center = AABB midpoint (reference _abstract_shapes.py:43)
+    np.testing.assert_allclose(np.asarray(p.centers()),
+                               [[1.0, 2.0], [1.0, 1.0], [1.0, 1.5]])
