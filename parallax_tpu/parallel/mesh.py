@@ -53,13 +53,27 @@ def shard_batch(tree, mesh: Mesh, axis: str = WORLD_AXIS):
     """
     sh = batch_sharding(mesh, axis)
     n = mesh.devices.size
+    fell_back = []
 
     def _put(x):
         if x.ndim == 0 or x.shape[0] % n != 0:
+            if x.ndim > 0:
+                fell_back.append(x.shape)
             return jax.device_put(x, replicated(mesh))
         return jax.device_put(x, sh)
 
-    return jax.tree_util.tree_map(_put, tree)
+    out = jax.tree_util.tree_map(_put, tree)
+    if fell_back:
+        import warnings
+
+        warnings.warn(
+            f"shard_batch: {len(fell_back)} leaves with leading dim not "
+            f"divisible by mesh size {n} (e.g. {fell_back[0]}) were "
+            f"REPLICATED — every device will step the full batch. Pad the "
+            f"batch to a multiple of {n} for actual parallelism.",
+            stacklevel=2,
+        )
+    return out
 
 
 def host_local_batch(global_batch: int) -> int:
