@@ -101,6 +101,11 @@ class LanderState(struct.PyTreeNode):
     t: jnp.ndarray  # i32 step counter
     key: jnp.ndarray
     prev_shaping: jnp.ndarray  # f32, potential-based reward memory
+    # [2] f32 — previous step's (left, right) leg-ground contact flags.
+    # Stored in the state so ``observe`` (what a policy sees during
+    # rollouts) matches ``TimeStep.obs`` (what it sees acting on env
+    # outputs): features 7:9 are the *last* step's touchdown state.
+    leg_contacts: jnp.ndarray
 
     @property
     def terrain_view(self):
@@ -295,6 +300,7 @@ class LunarLander(BatchedEnvironmentMixin, Environment):
             t=jnp.zeros((), jnp.int32),
             key=skey,
             prev_shaping=jnp.zeros(()),
+            leg_contacts=jnp.zeros((2,)),
         )
         return state.replace(prev_shaping=self._shaping(state, jnp.zeros(2, bool)))
 
@@ -306,7 +312,7 @@ class LunarLander(BatchedEnvironmentMixin, Environment):
                 b.vel[0],
                 jnp.stack([jnp.sin(b.angle[0]), jnp.cos(b.angle[0])]),
                 b.omega[0][None],
-                jnp.zeros((2,)),  # leg contacts filled by step_fn
+                state.leg_contacts.astype(b.pos.dtype),
             ]
         )
 
@@ -360,7 +366,11 @@ class LunarLander(BatchedEnvironmentMixin, Environment):
             else jnp.array(False)
         )
 
-        new_state = state.replace(bodies=b, t=state.t + 1)
+        new_state = state.replace(
+            bodies=b,
+            t=state.t + 1,
+            leg_contacts=leg_contacts.astype(jnp.float32),
+        )
 
         # termination
         speed = safe_norm(b.vel[0])
@@ -390,7 +400,7 @@ class LunarLander(BatchedEnvironmentMixin, Environment):
         new_state = new_state.replace(prev_shaping=shaping)
 
         ts = TimeStep(
-            obs=self._observe_with_contacts(new_state, leg_contacts),
+            obs=self.observe(new_state),
             reward=reward,
             terminated=landed | crashed,
             truncated=truncated & ~(landed | crashed),
@@ -461,7 +471,10 @@ def _lander_step_fn_batch(self, states: LanderState, actions):
     )
     leg_contacts = jnp.stack([left, right], axis=-1)  # [B, 2]
 
-    new_states = states.replace(bodies=b, t=states.t + 1)
+    new_states = states.replace(
+        bodies=b, t=states.t + 1,
+        leg_contacts=leg_contacts.astype(jnp.float32),
+    )
 
     px, py = b.pos[:, 0, 0], b.pos[:, 0, 1]
     vx, vy = b.vel[:, 0, 0], b.vel[:, 0, 1]
@@ -613,6 +626,7 @@ def _lander_reset_fn_batch(self, keys):
         t=jnp.zeros((B,), jnp.int32),
         key=skeys,
         prev_shaping=jnp.zeros((B,)),
+        leg_contacts=jnp.zeros((B, 2)),
     )
     # initial shaping with no leg contacts
     px, py = bodies.pos[:, 0, 0], bodies.pos[:, 0, 1]
@@ -644,6 +658,7 @@ class LanderPlanes(_NamedTuple):
     t: jnp.ndarray  # [B] i32
     key: jnp.ndarray  # [B, 2] uint32
     prev_shaping: jnp.ndarray  # [B]
+    lc: jnp.ndarray  # [2, B] previous-step leg contact flags (f32)
 
 
 def _lander_to_planes(self, states: LanderState) -> LanderPlanes:
@@ -657,6 +672,7 @@ def _lander_to_planes(self, states: LanderState) -> LanderPlanes:
         t=states.t,
         key=states.key,
         prev_shaping=states.prev_shaping,
+        lc=jnp.swapaxes(states.leg_contacts, 0, 1),
     )
 
 
@@ -669,6 +685,7 @@ def _lander_from_planes(self, ps: LanderPlanes) -> LanderState:
         t=ps.t,
         key=ps.key,
         prev_shaping=ps.prev_shaping,
+        leg_contacts=jnp.swapaxes(ps.lc, 0, 1),
     )
 
 
@@ -769,8 +786,10 @@ def _lander_step_planes(self, ps: LanderPlanes, actions):
     truncated = (truncated & ~terminated) | ~finite
     done = terminated | truncated
 
+    lc_new = jnp.stack([left, right]).astype(s.px.dtype)  # [2, B]
     obs = self._obs_planes(
-        LanderPlanes(s, ps.tox, ps.toy, t_new, ps.key, shaping), left, right
+        LanderPlanes(s, ps.tox, ps.toy, t_new, ps.key, shaping, lc_new),
+        left, right,
     )
     ts = TimeStep(
         obs=obs,
@@ -808,6 +827,7 @@ def _lander_step_planes(self, ps: LanderPlanes, actions):
         t=jnp.where(done, 0, t_new),
         key=carry_keys,
         prev_shaping=jnp.where(done, init_shaping, shaping),
+        lc=jnp.where(done[None, :], 0.0, lc_new),
     )
     return out, ts
 
@@ -820,8 +840,9 @@ def _lander_rollout_batch(self, states, policy_fn, n_steps, policy_params=None):
     ps = self._to_planes(states)
 
     def f(ps, _):
-        left = jnp.zeros(ps.t.shape[0], bool)  # obs uses current contacts=0 proxy
-        obs = self._obs_planes(ps, left, left)
+        # policy sees the previous step's leg contacts — identical to
+        # acting on the TimeStep.obs stream (and to env.observe(state))
+        obs = self._obs_planes(ps, ps.lc[0].astype(bool), ps.lc[1].astype(bool))
         actions = policy_fn(policy_params, obs)
         ps, ts = self._step_planes(ps, actions)
         return ps, ts

@@ -243,3 +243,56 @@ def test_continuous_time_evaluate_lander():
     # terminal penalty included and state frozen at the boundary
     assert float(reward) < -50.0
     assert abs(float(final.pos[0, 0])) >= env.config.out_x - 1.0
+
+
+def test_leg_contact_obs_consistency():
+    """Leg-contact flags live in the state: ``observe(state)`` == the
+    TimeStep.obs a policy would act on, and the rollout fast path feeds the
+    policy the previous step's contacts (no train/deploy obs mismatch)."""
+    env = LunarLander()
+    state = env.reset(jax.random.PRNGKey(1))
+    # teleport just above the pad so the legs touch within a few steps
+    shift = jnp.asarray([[0.0, 6.0]] * 3 + [[0.0, 0.0]])
+    state = state.replace(bodies=state.bodies.replace(pos=state.bodies.pos - shift))
+    step = jax.jit(env.step)
+    touched = False
+    for _ in range(300):
+        state, ts = step(state, jnp.zeros(2))
+        if bool(ts.done):
+            break
+        if float(np.asarray(ts.obs)[7]) or float(np.asarray(ts.obs)[8]):
+            touched = True
+            # state-held flags == TimeStep.obs flags
+            np.testing.assert_array_equal(
+                np.asarray(env.observe(state))[7:9], np.asarray(ts.obs)[7:9]
+            )
+            break
+    assert touched, "lander never touched down in 300 steps"
+
+    # fast path: obs seen by the policy at step t+1 == traj.obs[t] leg flags
+    B = 4
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(0), B))
+    shift_b = jnp.asarray([[0.0, 6.2]] * 3 + [[0.0, 0.0]])[None]
+    fall = jnp.asarray([[0.0, -1.5]] * 3 + [[0.0, 0.0]])[None]
+    states = states.replace(
+        bodies=states.bodies.replace(
+            pos=states.bodies.pos - shift_b,
+            vel=states.bodies.vel + fall,
+        )
+    )
+    seen = []
+
+    def spy_policy(_, obs):
+        seen.append(obs)
+        return jnp.zeros((obs.shape[0], 2))
+
+    with jax.disable_jit():
+        _, traj = env.rollout_batch(states, spy_policy, 30)
+    seen_legs = np.stack([np.asarray(o)[:, 7:9] for o in seen])  # [T, B, 2]
+    traj_legs = np.asarray(traj.obs)[:, :, 7:9]
+    done = np.asarray(traj.done)
+    # wherever step t didn't reset, policy obs at t+1 must equal ts.obs at t
+    for t in range(29):
+        live = ~done[t]
+        np.testing.assert_array_equal(seen_legs[t + 1][live], traj_legs[t][live])
+    assert traj_legs.any(), "no leg contact seen in the batched drop"
