@@ -1,4 +1,5 @@
-from parallax_tpu.envs import base, lunar_lander, robocup  # noqa: F401
+from parallax_tpu.envs import base, billiards, lunar_lander, robocup  # noqa: F401
+from parallax_tpu.envs.billiards import Billiards, BilliardsConfig  # noqa: F401
 from parallax_tpu.envs.base import (  # noqa: F401
     ConstantControl,
     Control,

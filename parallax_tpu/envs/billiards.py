@@ -1,0 +1,284 @@
+"""Billiards: a third environment family built on the same engine API.
+
+No counterpart in the reference (which ships LunarLander + a RoboCup field,
+_lunar_lander.py / _robocup.py) — this env demonstrates building a new
+environment from the public pieces: `World.build` + the
+`Environment`/`BatchedEnvironmentMixin` contract, the batch-minor
+`step_batched` fast path with pre/post hooks, and in-graph auto-reset.
+
+Physics: a zero-gravity 2 x 1 table with 4 static cushion walls, one cue
+ball and ``n_object`` object balls (all circles — exercises the
+circle-circle and circle-box kernels at scale).  Rolling friction is a
+per-step velocity damping applied in the ``post`` hook.  Corner pockets:
+a ball whose center comes within ``pocket_r`` of a corner is *potted* —
+teleported to a parking row far above the table with zero velocity (fixed
+shapes: bodies are never removed, just parked out of interaction range).
+
+RL surface: action [2] = bounded acceleration steering the cue ball;
+reward +1 per newly potted object ball, -1 for potting the cue
+(terminates), small living cost; episode ends when all object balls are
+potted (+2 bonus) or the cue is lost.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from parallax_tpu.dynamics.bodies import BodyState
+from parallax_tpu.engine.batched import step_batched
+from parallax_tpu.engine.world import BodyDef, World, WorldConfig
+from parallax_tpu.envs.base import BatchedEnvironmentMixin, Environment, TimeStep
+from parallax_tpu.geometry.shapes import box, circle
+
+# table half-extents and ball size (meters-ish; pool-table 2:1 aspect)
+HALF_W, HALF_H = 1.0, 0.5
+BALL_R = 0.04
+WALL_T = 0.1
+POCKET_R = 0.09
+PARK_Y = 10.0  # parking row for potted balls, far outside interaction range
+
+_CORNERS = np.asarray(
+    [[-HALF_W, -HALF_H], [HALF_W, -HALF_H], [-HALF_W, HALF_H], [HALF_W, HALF_H]],
+    np.float32,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class BilliardsConfig:
+    n_object: int = 7
+    dt: float = 0.01
+    damping: float = 0.99  # per-step rolling-friction velocity decay
+    accel: float = 3.0  # max cue acceleration per axis
+    elasticity: float = 0.92
+    wall_elasticity: float = 0.85
+    friction: float = 0.1
+    max_steps: int = 1000
+    pot_reward: float = 1.0
+    clear_bonus: float = 2.0
+    cue_penalty: float = 1.0
+    living_cost: float = 0.001
+    solver_iterations: int = 4
+    position_iterations: int = 2
+
+
+class BilliardsState(struct.PyTreeNode):
+    bodies: BodyState
+    potted: jnp.ndarray  # [1 + n_object] bool (index 0 = cue)
+    t: jnp.ndarray  # i32
+    key: jnp.ndarray
+
+
+def _rack_positions(n_object: int) -> np.ndarray:
+    """Cue on the left, object balls racked in a triangle on the right."""
+    pos = [(-0.5, 0.0)]
+    placed, row = 0, 0
+    gap = 2.05 * BALL_R
+    while placed < n_object:
+        for i in range(row + 1):
+            if placed >= n_object:
+                break
+            x = 0.45 + row * gap * 0.87
+            y = (i - row / 2.0) * gap
+            pos.append((x, y))
+            placed += 1
+        row += 1
+    return np.asarray(pos, np.float32)
+
+
+class Billiards(Environment, BatchedEnvironmentMixin):
+    def __init__(self, config: BilliardsConfig = BilliardsConfig()):
+        self.config = config
+        n = 1 + config.n_object
+        rack = _rack_positions(config.n_object)
+
+        balls = [
+            BodyDef(
+                shapes=[circle(BALL_R)],
+                mass=1.0,
+                inertia=2.0 / 5.0 * BALL_R**2,
+                position=tuple(rack[i]),
+                elasticity=config.elasticity,
+                friction=config.friction,
+                name="cue" if i == 0 else f"ball{i}",
+            )
+            for i in range(n)
+        ]
+        w, h, t = HALF_W, HALF_H, WALL_T
+        walls = [
+            BodyDef(shapes=[box((-w - t, -h - t), (w + t, -h))], mass=np.inf,
+                    inertia=np.inf, elasticity=config.wall_elasticity,
+                    friction=config.friction, name="wall_b"),
+            BodyDef(shapes=[box((-w - t, h), (w + t, h + t))], mass=np.inf,
+                    inertia=np.inf, elasticity=config.wall_elasticity,
+                    friction=config.friction, name="wall_t"),
+            BodyDef(shapes=[box((-w - t, -h), (-w, h))], mass=np.inf,
+                    inertia=np.inf, elasticity=config.wall_elasticity,
+                    friction=config.friction, name="wall_l"),
+            BodyDef(shapes=[box((w, -h), (w + t, h))], mass=np.inf,
+                    inertia=np.inf, elasticity=config.wall_elasticity,
+                    friction=config.friction, name="wall_r"),
+        ]
+        wc = WorldConfig(
+            dt=config.dt,
+            gravity=(0.0, 0.0),
+            integrator="symplectic",
+            solver_iterations=config.solver_iterations,
+            position_iterations=config.position_iterations,
+            use_pallas_solver=True,
+        )
+        self.world, self._init_bodies = World.build(balls + walls, wc)
+        self.n_balls = n
+        # per-ball parking slots (row above the table, spaced > 2r apart)
+        self._park = np.stack(
+            [np.linspace(-n, n, n, dtype=np.float32),
+             np.full(n, PARK_Y, np.float32)], -1
+        )
+
+    # -- spaces ---------------------------------------------------------
+
+    @property
+    def action_size(self) -> int:
+        return 2
+
+    @property
+    def observation_size(self) -> int:
+        # per ball: pos(2) + vel(2) + potted(1)
+        return self.n_balls * 5
+
+    # -- core ------------------------------------------------------------
+
+    def reset_fn(self, key) -> BilliardsState:
+        jkey, skey = jax.random.split(key)
+        n = self.n_balls
+        jitter = jax.random.uniform(jkey, (n, 2), minval=-0.004, maxval=0.004)
+        b = self._init_bodies
+        b = b.replace(pos=b.pos.at[:n].add(jitter))
+        return BilliardsState(
+            bodies=b,
+            potted=jnp.zeros((n,), bool),
+            t=jnp.zeros((), jnp.int32),
+            key=skey,
+        )
+
+    def observe(self, state: BilliardsState) -> jnp.ndarray:
+        n = self.n_balls
+        b = state.bodies
+        per_ball = jnp.concatenate(
+            [b.pos[:n], b.vel[:n], state.potted[:, None].astype(b.pos.dtype)], -1
+        )
+        return per_ball.reshape(-1)
+
+    def _pot_hits(self, pos_balls):
+        """[n] bool — ball center within POCKET_R of any corner."""
+        d2 = jnp.sum(
+            (pos_balls[:, None, :] - jnp.asarray(_CORNERS)[None, :, :]) ** 2, -1
+        )
+        return jnp.any(d2 <= POCKET_R**2, axis=-1)
+
+    def step_fn(self, state: BilliardsState, action):
+        cfg = self.config
+        n = self.n_balls
+        a = jnp.clip(jnp.asarray(action, jnp.float32).reshape(2), -1.0, 1.0)
+        b = state.bodies
+
+        # cue acceleration (only while the cue is live)
+        live_cue = ~state.potted[0]
+        kick = a * cfg.accel * cfg.dt * live_cue
+        b = b.replace(vel=b.vel.at[0].add(kick))
+
+        b, _ = self.world.step(b)
+        # rolling friction + park-freeze potted balls
+        damp = jnp.where(state.potted[:, None], 0.0, cfg.damping)
+        pad = jnp.ones((b.vel.shape[0] - n, 1))
+        b = b.replace(vel=b.vel * jnp.concatenate([damp, pad], 0))
+
+        new_pot = self._pot_hits(b.pos[:n]) & ~state.potted
+        potted = state.potted | new_pot
+        # teleport newly potted balls to their parking slots
+        park = jnp.asarray(self._park)
+        pos_balls = jnp.where(new_pot[:, None], park, b.pos[:n])
+        vel_balls = jnp.where(new_pot[:, None], 0.0, b.vel[:n])
+        b = b.replace(
+            pos=b.pos.at[:n].set(pos_balls), vel=b.vel.at[:n].set(vel_balls)
+        )
+
+        cue_lost = potted[0]
+        cleared = jnp.all(potted[1:])
+        reward = (
+            cfg.pot_reward * jnp.sum(new_pot[1:])
+            - cfg.cue_penalty * new_pot[0]
+            + jnp.where(cleared & jnp.any(new_pot[1:]), cfg.clear_bonus, 0.0)
+            - cfg.living_cost
+        )
+        new_state = state.replace(bodies=b, potted=potted, t=state.t + 1)
+        terminated = cue_lost | cleared
+        truncated = (new_state.t >= cfg.max_steps) & ~terminated
+        ts = TimeStep(
+            obs=self.observe(new_state),
+            reward=reward,
+            terminated=terminated,
+            truncated=truncated,
+            info={"potted": potted, "cue_lost": cue_lost, "cleared": cleared},
+        )
+        return new_state, ts
+
+    # -- batch-minor fast path -------------------------------------------
+
+    def step_fn_batch(self, states: BilliardsState, actions):
+        cfg = self.config
+        n = self.n_balls
+        B = states.t.shape[0]
+        a = jnp.clip(jnp.asarray(actions, jnp.float32).reshape(B, 2), -1.0, 1.0)
+        live_cue = ~states.potted[:, 0]
+        kx = a[:, 0] * cfg.accel * cfg.dt * live_cue
+        ky = a[:, 1] * cfg.accel * cfg.dt * live_cue
+        dampB = jnp.where(states.potted, 0.0, cfg.damping)  # [B, n]
+
+        def pre(s):
+            return s._replace(vx=s.vx.at[0].add(kx), vy=s.vy.at[0].add(ky))
+
+        def post(s):
+            d = jnp.swapaxes(dampB, 0, 1)  # [n, B]
+            return s._replace(
+                vx=s.vx.at[:n].mul(d), vy=s.vy.at[:n].mul(d)
+            )
+
+        b, _ = step_batched(self.world, states.bodies, pre=pre, post=post)
+
+        new_pot = jax.vmap(self._pot_hits)(b.pos[:, :n]) & ~states.potted
+        potted = states.potted | new_pot
+        park = jnp.asarray(self._park)[None]
+        pos_balls = jnp.where(new_pot[..., None], park, b.pos[:, :n])
+        vel_balls = jnp.where(new_pot[..., None], 0.0, b.vel[:, :n])
+        b = b.replace(
+            pos=b.pos.at[:, :n].set(pos_balls), vel=b.vel.at[:, :n].set(vel_balls)
+        )
+
+        cue_lost = potted[:, 0]
+        cleared = jnp.all(potted[:, 1:], axis=-1)
+        reward = (
+            cfg.pot_reward * jnp.sum(new_pot[:, 1:], axis=-1)
+            - cfg.cue_penalty * new_pot[:, 0]
+            + jnp.where(cleared & jnp.any(new_pot[:, 1:], axis=-1), cfg.clear_bonus, 0.0)
+            - cfg.living_cost
+        )
+        new_states = states.replace(bodies=b, potted=potted, t=states.t + 1)
+        terminated = cue_lost | cleared
+        truncated = (new_states.t >= cfg.max_steps) & ~terminated
+        per_ball = jnp.concatenate(
+            [b.pos[:, :n], b.vel[:, :n], potted[..., None].astype(b.pos.dtype)], -1
+        )
+        ts = TimeStep(
+            obs=per_ball.reshape(B, -1),
+            reward=reward,
+            terminated=terminated,
+            truncated=truncated,
+            info={"potted": potted, "cue_lost": cue_lost, "cleared": cleared},
+        )
+        return new_states, ts
