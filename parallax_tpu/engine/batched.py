@@ -876,34 +876,39 @@ def physics_core(
     def grav(s):
         return s._replace(vx=s.vx + gx * dt * mov, vy=s.vy + gy * dt * mov)
 
-    if cfg.integrator == "symplectic":
-        s = grav(s)
-        s = integrate(s)
-    else:
-        s = integrate(s)
-        s = grav(s)
+    # named scopes group the step's phases legibly in XProf traces
+    with jax.named_scope("integrate"):
+        if cfg.integrator == "symplectic":
+            s = grav(s)
+            s = integrate(s)
+        else:
+            s = integrate(s)
+            s = grav(s)
 
-    con = collide_batched(world, s, terrain_override)
-    if _pallas_ok(world, s):
-        from parallax_tpu.ops.pallas_solver import solve_contacts_pallas
+    with jax.named_scope("collide"):
+        con = collide_batched(world, s, terrain_override)
+    with jax.named_scope("solve_contacts"):
+        if _pallas_ok(world, s):
+            from parallax_tpu.ops.pallas_solver import solve_contacts_pallas
 
-        s = solve_contacts_pallas(
-            world, s, con,
-            iterations=cfg.solver_iterations,
-            position_iterations=cfg.position_iterations,
-            dt=dt, config=cfg.contact,
-        )
-    else:
-        s = solve_contacts_bm(
-            world,
-            s,
-            con,
-            iterations=cfg.solver_iterations,
-            position_iterations=cfg.position_iterations,
-            dt=dt,
-            config=cfg.contact,
-        )
-    s = apply_joints_bm(world, s)
+            s = solve_contacts_pallas(
+                world, s, con,
+                iterations=cfg.solver_iterations,
+                position_iterations=cfg.position_iterations,
+                dt=dt, config=cfg.contact,
+            )
+        else:
+            s = solve_contacts_bm(
+                world,
+                s,
+                con,
+                iterations=cfg.solver_iterations,
+                position_iterations=cfg.position_iterations,
+                dt=dt,
+                config=cfg.contact,
+            )
+    with jax.named_scope("joints"):
+        s = apply_joints_bm(world, s)
     return s, con
 
 
