@@ -474,3 +474,70 @@ RoboCup._from_planes = _rc_from_planes
 RoboCup._obs_planes = _rc_obs_planes
 RoboCup._step_planes = _rc_step_planes
 RoboCup.rollout_batch = _rc_rollout_batch
+
+
+# ---------------------------------------------------------------------------
+# Continuous-time evaluation (reference AbstractEnvironment.eval semantics,
+# /root/reference/cotix/_envs.py:37-132) on RoboCup: velocity-tracking robot
+# control as the dense control signal, ball-progress integral reward, goal
+# detection as the terminal condition.  Mirrors the LunarLander section in
+# envs/lunar_lander.py — together they make the Judge/Control layer
+# env-agnostic in practice (the reference shipped no concrete subclass).
+# ---------------------------------------------------------------------------
+
+from parallax_tpu.envs.base import Judge as _Judge  # noqa: E402
+
+
+class RoboCupJudge(_Judge):
+    """R = ∫ shaping_coef * (-ball_x) dt ± goal_reward at a goal."""
+
+    def __init__(self, env: "RoboCup"):
+        self.env = env
+
+    def _goals(self, bodies):
+        cfg = self.env.config
+        bx = bodies.pos[self.env.ball_idx, 0]
+        by = bodies.pos[self.env.ball_idx, 1]
+        line = PLAY_AREA[0] / 2
+        in_mouth = jnp.abs(by) < GOAL_DIM[1] / 2
+        blue = (bx < -(line + BALL_RADIUS)) & in_mouth
+        yellow = (bx > (line + BALL_RADIUS)) & in_mouth
+        return blue, yellow
+
+    def reward(self, state, control_signal):
+        return -self.env.config.shaping_coef * state.pos[self.env.ball_idx, 0]
+
+    def is_done(self, state, control_signal):
+        blue, yellow = self._goals(state)
+        return blue | yellow
+
+    def end_reward(self, state, control_signal):
+        blue, yellow = self._goals(state)
+        g = self.env.config.goal_reward
+        return jnp.where(blue, g, 0.0) - jnp.where(yellow, g, 0.0)
+
+
+def make_world_forward(env: "RoboCup"):
+    """``forward(bodies, signal, dt) -> bodies`` — robot velocity tracking +
+    physics + ball rolling friction, dt-parametric for the NFE/WFE loop."""
+    cfg = env.config
+    ri = env.robot_idx
+
+    def forward(bodies, signal, dt):
+        a = jnp.asarray(signal, jnp.float32).reshape(env.n_robots, 3)
+        v_cmd = jnp.clip(a[:, :2], -cfg.robot_max_speed, cfg.robot_max_speed)
+        w_cmd = jnp.clip(a[:, 2], -cfg.robot_max_omega, cfg.robot_max_omega)
+        dv = jnp.clip(
+            v_cmd - bodies.vel[ri],
+            -cfg.robot_max_accel * dt,
+            cfg.robot_max_accel * dt,
+        )
+        bodies = bodies.replace(
+            vel=bodies.vel.at[ri].add(dv), omega=bodies.omega.at[ri].set(w_cmd)
+        )
+        bodies, _ = env.world.step(bodies, dt=dt)
+        # per-step damping scaled to the reference cadence (dt_ref = cfg.dt)
+        damp = cfg.ball_damping ** (dt / cfg.dt)
+        return bodies.replace(vel=bodies.vel.at[env.ball_idx].multiply(damp))
+
+    return forward

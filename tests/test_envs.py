@@ -296,3 +296,37 @@ def test_leg_contact_obs_consistency():
         live = ~done[t]
         np.testing.assert_array_equal(seen_legs[t + 1][live], traj_legs[t][live])
     assert traj_legs.any(), "no leg contact seen in the batched drop"
+
+
+def test_robocup_continuous_eval_goal():
+    """Continuous-time NFE/WFE evaluation on RoboCup: a shot into the +x
+    goal terminates with the yellow-scored end reward (judge mirrors
+    step_fn's sign convention)."""
+    from parallax_tpu.envs.base import ConstantControl, evaluate
+    from parallax_tpu.envs.robocup import (
+        RoboCup,
+        RoboCupConfig,
+        RoboCupJudge,
+        make_world_forward,
+    )
+
+    env = RoboCup(RoboCupConfig(n_robots_per_team=1, randomize_ball=False))
+    s = env.reset(jax.random.PRNGKey(0))
+    # off-axis so the shot clears the robot spawns at (±1, 0)
+    b = s.bodies.replace(
+        pos=s.bodies.pos.at[env.ball_idx].set(jnp.asarray([0.0, 0.3])),
+        vel=s.bodies.vel.at[env.ball_idx].set(jnp.asarray([4.0, 0.0])),
+    )
+    judge = RoboCupJudge(env)
+    fwd = make_world_forward(env)
+    ctrl = ConstantControl(jnp.zeros(env.action_size))
+    final, r = jax.jit(lambda bb: evaluate(fwd, bb, ctrl, judge, 4.0, 40, 10))(b)
+    assert bool(jax.jit(judge.is_done)(final, jnp.zeros(env.action_size)))
+    # end reward -goal_reward (yellow goal) dominates the small shaping term
+    assert -1.2 < float(r) < -0.8
+    # blocked shot: straight at the yellow robot -> no goal
+    b2 = s.bodies.replace(
+        vel=s.bodies.vel.at[env.ball_idx].set(jnp.asarray([3.0, 0.0]))
+    )
+    final2, r2 = jax.jit(lambda bb: evaluate(fwd, bb, ctrl, judge, 3.0, 30, 10))(b2)
+    assert not bool(jax.jit(judge.is_done)(final2, jnp.zeros(env.action_size)))
