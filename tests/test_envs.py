@@ -330,3 +330,36 @@ def test_robocup_continuous_eval_goal():
     )
     final2, r2 = jax.jit(lambda bb: evaluate(fwd, bb, ctrl, judge, 3.0, 30, 10))(b2)
     assert not bool(jax.jit(judge.is_done)(final2, jnp.zeros(env.action_size)))
+
+
+def test_continuous_eval_vmaps_over_worlds():
+    """The NFE/WFE loop is an ordinary JAX program: vmap it over a fleet
+    with per-world terrain (the judge/forward close over traced terrain)."""
+    from parallax_tpu.envs.base import ConstantControl, evaluate
+    from parallax_tpu.envs.lunar_lander import (
+        LanderJudge,
+        LunarLander,
+        make_world_forward,
+    )
+
+    env = LunarLander()
+    B = 4
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(0), B))
+
+    def eval_one(bodies, terrain, throttle):
+        judge = LanderJudge(env, terrain)
+        fwd = make_world_forward(env, terrain)
+        ctrl = ConstantControl(jnp.stack([throttle, jnp.zeros(())]))
+        _, r = evaluate(fwd, bodies, ctrl, judge, 2.0, 20, 5)
+        return r
+
+    throttles = jnp.linspace(0.0, 0.6, B)
+    rs = jax.jit(jax.vmap(eval_one))(states.bodies, states.terrain, throttles)
+    assert rs.shape == (B,)
+    assert np.isfinite(np.asarray(rs)).all()
+    # distinct terrains/throttles -> distinct returns
+    assert len(np.unique(np.round(np.asarray(rs), 6))) > 1
+    # and the batched loop is differentiable
+    g = jax.grad(lambda th: jax.vmap(eval_one)(states.bodies, states.terrain,
+                                               jnp.full((B,), th)).mean())(jnp.asarray(0.3))
+    assert np.isfinite(np.asarray(g))
