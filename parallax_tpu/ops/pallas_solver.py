@@ -18,7 +18,10 @@ one-hot matmul on the MXU:
 Per-lane constant parameters ride in as a packed ``[R, C]`` input.
 Semantics are identical to ``engine.batched.solve_contacts_bm``; equivalence
 is asserted by tests/test_pallas_solver.py in interpreter mode and on
-hardware by the bench path.
+hardware by the bench path.  The impulse math itself mirrors the reference
+``resolve_collision`` formulas (/root/reference/cotix/_collision_resolution.py:76-151)
+via ``dynamics.impulses``, generalized to accumulated-impulse sequential
+solving — see dynamics/block_solver.py for the formula-level citations.
 """
 
 from __future__ import annotations
