@@ -134,6 +134,13 @@ class Billiards(Environment, BatchedEnvironmentMixin):
         )
         self.world, self._init_bodies = World.build(balls + walls, wc)
         self.n_balls = n
+        # [n_bodies, 1] init planes for the plane-space auto-reset
+        ib = self._init_bodies
+        self._init_planes_np = tuple(
+            np.asarray(x)[:, None]
+            for x in (ib.pos[:, 0], ib.pos[:, 1], ib.vel[:, 0], ib.vel[:, 1],
+                      ib.angle, ib.omega)
+        )
         # per-ball parking slots (row above the table, spaced > 2r apart)
         self._park = np.stack(
             [np.linspace(-n, n, n, dtype=np.float32),
@@ -282,3 +289,167 @@ class Billiards(Environment, BatchedEnvironmentMixin):
             info={"potted": potted, "cue_lost": cue_lost, "cleared": cleared},
         )
         return new_states, ts
+
+
+# ---------------------------------------------------------------------------
+# Plane-space rollout (same pattern as LanderPlanes/RoboCupPlanes): the
+# carry never leaves the batch-minor frame between the rollout boundaries.
+# ---------------------------------------------------------------------------
+
+from typing import NamedTuple as _NamedTuple  # noqa: E402
+
+from parallax_tpu.engine.batched import (  # noqa: E402
+    _SoA,
+    _from_soa,
+    _to_soa,
+    physics_core,
+)
+
+
+class BilliardsPlanes(_NamedTuple):
+    s: _SoA  # [n_bodies, B] planes
+    potted: jnp.ndarray  # [n_balls, B] f32 0/1
+    t: jnp.ndarray  # [B] i32
+    key: jnp.ndarray  # [B, 2]
+
+
+def _bl_to_planes(self, states: BilliardsState) -> BilliardsPlanes:
+    return BilliardsPlanes(
+        s=_to_soa(states.bodies),
+        potted=jnp.swapaxes(states.potted, 0, 1).astype(jnp.float32),
+        t=states.t,
+        key=states.key,
+    )
+
+
+def _bl_from_planes(self, ps: BilliardsPlanes) -> BilliardsState:
+    return BilliardsState(
+        bodies=_from_soa(ps.s),
+        potted=jnp.swapaxes(ps.potted, 0, 1) > 0.5,
+        t=ps.t,
+        key=ps.key,
+    )
+
+
+def _bl_obs_planes(self, ps: BilliardsPlanes):
+    n = self.n_balls
+    s = ps.s
+    rows = []
+    for i in range(n):
+        rows.extend([s.px[i], s.py[i], s.vx[i], s.vy[i], ps.potted[i]])
+    return jnp.stack(rows, axis=-1)  # [B, 5n]
+
+
+def _bl_step_planes(self, ps: BilliardsPlanes, actions):
+    cfg = self.config
+    n = self.n_balls
+    B = ps.t.shape[0]
+    a = jnp.clip(jnp.asarray(actions, jnp.float32).reshape(B, 2), -1.0, 1.0)
+    live_cue = 1.0 - ps.potted[0]
+    s = ps.s._replace(
+        vx=ps.s.vx.at[0].add(a[:, 0] * cfg.accel * cfg.dt * live_cue),
+        vy=ps.s.vy.at[0].add(a[:, 1] * cfg.accel * cfg.dt * live_cue),
+    )
+    s, _con = physics_core(self.world, s)
+    damp = 1.0 - ps.potted * (1.0 - 0.0) + 0.0  # potted -> 0, live -> 1
+    damp = jnp.where(ps.potted > 0.5, 0.0, cfg.damping)  # [n, B]
+    s = s._replace(vx=s.vx.at[:n].mul(damp), vy=s.vy.at[:n].mul(damp))
+
+    # pot detection on [n, B] planes
+    cx = jnp.asarray(_CORNERS[:, 0])[None, :, None]  # [1, 4, 1]
+    cy = jnp.asarray(_CORNERS[:, 1])[None, :, None]
+    d2 = (s.px[:n, None, :] - cx) ** 2 + (s.py[:n, None, :] - cy) ** 2
+    hit = jnp.min(d2, axis=1) <= POCKET_R**2  # [n, B]
+    new_pot = hit & (ps.potted < 0.5)
+    potted = jnp.where(new_pot, 1.0, ps.potted)
+    park = jnp.asarray(self._park)  # [n, 2]
+    s = s._replace(
+        px=s.px.at[:n].set(jnp.where(new_pot, park[:, 0:1], s.px[:n])),
+        py=s.py.at[:n].set(jnp.where(new_pot, park[:, 1:2], s.py[:n])),
+        vx=s.vx.at[:n].set(jnp.where(new_pot, 0.0, s.vx[:n])),
+        vy=s.vy.at[:n].set(jnp.where(new_pot, 0.0, s.vy[:n])),
+    )
+
+    cue_lost = potted[0] > 0.5
+    cleared = jnp.all(potted[1:] > 0.5, axis=0)
+    reward = (
+        cfg.pot_reward * jnp.sum(new_pot[1:], axis=0)
+        - cfg.cue_penalty * new_pot[0]
+        + jnp.where(cleared & jnp.any(new_pot[1:], axis=0), cfg.clear_bonus, 0.0)
+        - cfg.living_cost
+    )
+    t_new = ps.t + 1
+    terminated = cue_lost | cleared
+    # NaN watchdog (mirrors BatchedEnvironmentMixin.step_batch)
+    finite = (
+        jnp.isfinite(s.px).all(0)
+        & jnp.isfinite(s.py).all(0)
+        & jnp.isfinite(s.vx).all(0)
+        & jnp.isfinite(s.vy).all(0)
+        & jnp.isfinite(s.angle).all(0)
+        & jnp.isfinite(s.omega).all(0)
+    )
+    truncated = ((t_new >= cfg.max_steps) & ~terminated) | ~finite
+    done = terminated | truncated
+
+    out_mid = BilliardsPlanes(s=s, potted=potted, t=t_new, key=ps.key)
+    ts = TimeStep(
+        obs=self._obs_planes(out_mid),
+        reward=reward,
+        terminated=terminated,
+        truncated=truncated,
+        info={"cue_lost": cue_lost, "cleared": cleared},
+    )
+
+    # in-graph auto-reset, plane-space (fresh rack + jitter per world).
+    # Key tree mirrors the mixin path exactly: split(key) -> (reset, carry);
+    # reset_fn splits again -> (jitter, state) keys.
+    keys = jax.vmap(jax.random.split)(ps.key)  # [B, 2, 2]
+    rkeys, carry_keys = keys[:, 0], keys[:, 1]
+    jkeys = jax.vmap(jax.random.split)(rkeys)[:, 0]
+    jit2 = jax.vmap(
+        lambda k: jax.random.uniform(k, (self.n_balls, 2), minval=-0.004, maxval=0.004)
+    )(jkeys)  # [B, n, 2]
+    ipx, ipy, _ivx, _ivy, iang, _iom = (
+        jnp.asarray(x) for x in self._init_planes_np
+    )  # [n_bodies, 1] init planes
+    dm = done[None, :]
+    fresh_px = ipx + jnp.zeros_like(s.px)
+    fresh_py = ipy + jnp.zeros_like(s.py)
+    fresh_px = fresh_px.at[:n].add(jnp.swapaxes(jit2[..., 0], 0, 1))
+    fresh_py = fresh_py.at[:n].add(jnp.swapaxes(jit2[..., 1], 0, 1))
+    s_out = _SoA(
+        px=jnp.where(dm, fresh_px, s.px),
+        py=jnp.where(dm, fresh_py, s.py),
+        vx=jnp.where(dm, 0.0, s.vx),
+        vy=jnp.where(dm, 0.0, s.vy),
+        angle=jnp.where(dm, iang, s.angle),
+        omega=jnp.where(dm, 0.0, s.omega),
+    )
+    out = BilliardsPlanes(
+        s=s_out,
+        potted=jnp.where(dm, 0.0, potted),
+        t=jnp.where(done, 0, t_new),
+        key=carry_keys,
+    )
+    return out, ts
+
+
+def _bl_rollout_batch(self, states, policy_fn, n_steps, policy_params=None):
+    ps = self._to_planes(states)
+
+    def f(ps, _):
+        obs = self._obs_planes(ps)
+        actions = policy_fn(policy_params, obs)
+        ps, ts = self._step_planes(ps, actions)
+        return ps, ts
+
+    ps, traj = jax.lax.scan(f, ps, None, length=n_steps)
+    return self._from_planes(ps), traj
+
+
+Billiards._to_planes = _bl_to_planes
+Billiards._from_planes = _bl_from_planes
+Billiards._obs_planes = _bl_obs_planes
+Billiards._step_planes = _bl_step_planes
+Billiards.rollout_batch = _bl_rollout_batch

@@ -62,9 +62,31 @@ def batched_rollout(env, states, policy_fn, policy_params, n_steps, checkpoint_s
     """Batched rollout: uses the env's plane-space fast path when available
 
     (``env.rollout_batch``, bit-identical to the vmapped path), falling back
-    to ``vmap`` of :func:`rollout`.  Checkpointed variants stay on the vmap
-    path (rematerialization wraps the per-step scan)."""
+    to ``vmap`` of :func:`rollout`.
+
+    With ``checkpoint_segments > 0`` the fast path is wrapped in
+    ``jax.checkpoint`` per segment.  Staying on the fast path matters for
+    memory, not just speed: its remat residuals are batch-minor ``[.., B]``
+    planes that tile (8, 128) densely, while the vmapped path stacks
+    batch-major ``[B, .., tiny]`` residuals that pad up to 8x in HBM
+    (observed 21.7G padded vs 5.3G unpadded on a horizon-100 lander
+    backward pass)."""
     fast = getattr(env, "rollout_batch", None)
+    if fast is not None and checkpoint_segments and n_steps % checkpoint_segments == 0:
+        seg = n_steps // checkpoint_segments
+
+        @jax.checkpoint
+        def segment(s):
+            return fast(s, policy_fn, seg, policy_params)
+
+        def seg_step(s, _):
+            return segment(s)
+
+        final, tss = jax.lax.scan(seg_step, states, None, length=checkpoint_segments)
+        tss = jax.tree_util.tree_map(
+            lambda x: x.reshape((n_steps,) + x.shape[2:]), tss
+        )
+        return final, tss
     if fast is not None and not checkpoint_segments:
         return fast(states, policy_fn, n_steps, policy_params)
     final, tss = jax.vmap(

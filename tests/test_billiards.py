@@ -90,3 +90,42 @@ def test_grad_through_billiards():
     g = jax.grad(cue_x_after)(jnp.asarray(0.5))
     assert np.isfinite(np.asarray(g))
     assert float(g) > 0  # pushing right moves the cue right
+
+
+def test_plane_rollout_matches_step_loop_with_resets():
+    """Plane-space rollout ≡ step_batch loop bit-exactly, including through
+    a pot + in-graph auto-reset (same PRNG key tree)."""
+    env = Billiards(BilliardsConfig(n_object=2))
+    B = 4
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(0), B))
+    # scratch the cue of world 0 into a pocket -> terminate + auto-reset
+    states = states.replace(
+        bodies=states.bodies.replace(
+            pos=states.bodies.pos.at[0, 0].set(jnp.asarray([0.85, 0.42])),
+            vel=states.bodies.vel.at[0, 0].set(jnp.asarray([1.5, 0.8])),
+        )
+    )
+
+    def pol(_, obs):
+        return jnp.tile(jnp.asarray([[0.3, 0.0]]), (obs.shape[0], 1))
+
+    fin_a, traj_a = jax.jit(lambda s: env.rollout_batch(s, pol, 60))(states)
+
+    def loop(s):
+        def f(c, _):
+            obs = jax.vmap(env.observe)(c)
+            c, ts = env.step_batch(c, pol(None, obs))
+            return c, ts
+        return jax.lax.scan(f, s, None, length=60)
+
+    fin_b, traj_b = jax.jit(loop)(states)
+    assert bool(np.asarray(traj_a.done).any()), "no reset happened in the window"
+    np.testing.assert_array_equal(
+        np.asarray(fin_a.bodies.pos), np.asarray(fin_b.bodies.pos)
+    )
+    np.testing.assert_array_equal(np.asarray(traj_a.obs), np.asarray(traj_b.obs))
+    np.testing.assert_array_equal(
+        np.asarray(traj_a.reward), np.asarray(traj_b.reward)
+    )
+    np.testing.assert_array_equal(np.asarray(fin_a.potted), np.asarray(fin_b.potted))
+    np.testing.assert_array_equal(np.asarray(fin_a.key), np.asarray(fin_b.key))

@@ -212,3 +212,29 @@ def test_config5_robocup_sharded_with_grad():
     val, g = jax.jit(jax.value_and_grad(mean_ball_progress))(jnp.asarray(-0.5))
     assert np.isfinite(float(val))
     assert np.isfinite(float(g))
+
+
+def test_checkpointed_rollout_stays_on_fast_path():
+    """checkpoint_segments wraps the plane-space fast path (batch-minor remat
+    residuals) — value and gradient match the unsegmented rollout."""
+    from parallax_tpu.envs.lunar_lander import LunarLander
+    from parallax_tpu.parallel.rollout import batched_rollout
+
+    env = LunarLander()
+    B = 4
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(0), B))
+
+    def pol(p, obs):
+        return jnp.tile(jnp.stack([p, jnp.zeros(())]), (obs.shape[0], 1))
+
+    def ret(theta, segs):
+        _, traj = batched_rollout(env, states, pol, theta, 24,
+                                  checkpoint_segments=segs)
+        return traj.reward.mean()
+
+    v0 = float(jax.jit(lambda t: ret(t, 0))(jnp.asarray(0.4)))
+    v3 = float(jax.jit(lambda t: ret(t, 3))(jnp.asarray(0.4)))
+    assert abs(v0 - v3) < 1e-6
+    g0 = float(jax.jit(jax.grad(lambda t: ret(t, 0)))(jnp.asarray(0.4)))
+    g3 = float(jax.jit(jax.grad(lambda t: ret(t, 3)))(jnp.asarray(0.4)))
+    assert abs(g0 - g3) < 1e-6 and np.isfinite(g3)
