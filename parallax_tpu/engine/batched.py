@@ -432,12 +432,42 @@ def _area_cb_bm(cx, cy, r, lbx, lby, ubx, uby):
 # ---------------------------------------------------------------------------
 
 
+def check_batched_support(config, what: str = "the batch-minor fast path") -> None:
+    """Loudly reject WorldConfigs the batched path does not implement.
+
+    The fast path's collide kernels emit 2-lane SAT manifolds per pp/bp
+    pair, while a ``narrowphase="gjk_epa"`` pair table sizes ONE lane per
+    pair — running it anyway would mis-align the contact buffer against
+    ``table.n_contacts`` (silent wrong physics or a shape crash).  Likewise
+    the batched solver implements the "block" mode only.  Reference-mode
+    configs (gjk_epa / jacobi / gauss_seidel / random_one_per_body) are the
+    parity surface and run on the vmapped per-world path.
+    """
+    if config.narrowphase != "sat":
+        raise ValueError(
+            f"{what} supports narrowphase='sat' only, got "
+            f"{config.narrowphase!r}: its collide kernels emit 2-lane SAT "
+            "manifolds while this pair table sizes one lane per pair. Use "
+            "jax.vmap(world.step) for reference-mode narrowphase, or build "
+            "the world with narrowphase='sat'."
+        )
+    if config.solver_mode != "block":
+        raise ValueError(
+            f"{what} supports solver_mode='block' only, got "
+            f"{config.solver_mode!r}; jacobi/gauss_seidel/"
+            "random_one_per_body solvers run on the vmapped per-world path "
+            "(jax.vmap(world.step))."
+        )
+
+
 def collide_batched(world, s: _SoA, terrain_override=None) -> ContactsBM:
     """All pair-group kernels in batch-minor layout -> flat [C, B] lanes.
 
     ``terrain_override``: optional dict {part_index: ([V, B] x, [V, B] y)}
     world-frame overrides for per-world geometry (LunarLander terrain).
     """
+    if world.config.narrowphase != "sat":
+        check_batched_support(world.config, "collide_batched")
     B = s.px.shape[-1]
     V = world.parts.max_verts
     pieces = []
@@ -850,6 +880,7 @@ def physics_core(
 ) -> tuple[_SoA, ContactsBM]:
     """The full physics step in the batch-minor frame (integrate + gravity +
     collide + solve + joints).  Plane-space rollouts scan this directly."""
+    check_batched_support(world.config)
     if _pallas_fused_ok(world, s):
         from parallax_tpu.ops.pallas_step import physics_core_pallas
 

@@ -351,7 +351,6 @@ def _bl_step_planes(self, ps: BilliardsPlanes, actions):
         vy=ps.s.vy.at[0].add(a[:, 1] * cfg.accel * cfg.dt * live_cue),
     )
     s, _con = physics_core(self.world, s)
-    damp = 1.0 - ps.potted * (1.0 - 0.0) + 0.0  # potted -> 0, live -> 1
     damp = jnp.where(ps.potted > 0.5, 0.0, cfg.damping)  # [n, B]
     s = s._replace(vx=s.vx.at[:n].mul(damp), vy=s.vy.at[:n].mul(damp))
 
