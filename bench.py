@@ -70,7 +70,13 @@ def main():
     print(json.dumps(bench_env(LunarLander(), "lunarlander")))
 
     if "--all" in sys.argv:
+        from parallax_tpu.envs.billiards import Billiards, BilliardsConfig
+
         print(json.dumps(bench_env(RoboCup(), "robocup")))
+        # 48-body stress world: 1128 circle-circle + 192 circle-box lanes
+        print(json.dumps(bench_env(
+            Billiards(BilliardsConfig(n_object=47)), "billiards48"
+        )))
 
 
 if __name__ == "__main__":

@@ -427,6 +427,15 @@ def _area_cb_bm(cx, cy, r, lbx, lby, ubx, uby):
     return pen_x * active, pen_y * active, ptx, pty, active
 
 
+def _overlap_bm(alx, ahx, aly, ahy, blx, bhx, bly, bhy):
+    """Batch-minor AABB overlap [G, B] (see collider.BROADPHASE_MARGIN)."""
+    from parallax_tpu.engine.collider import BROADPHASE_MARGIN as m
+
+    return (
+        (alx <= bhx + m) & (blx <= ahx + m) & (aly <= bhy + m) & (bly <= ahy + m)
+    )
+
+
 # ---------------------------------------------------------------------------
 # batched collide over the pair table
 # ---------------------------------------------------------------------------
@@ -512,6 +521,13 @@ def collide_batched(world, s: _SoA, terrain_override=None) -> ContactsBM:
 
         if g.kernel == "pp":
             px, py, qx, qy, act, wgt = _pp_manifold_bm(axv, ayv, ema, bxv, byv, emb)
+            if world.config.broadphase:
+                ov = _overlap_bm(
+                    axv.min(1), axv.max(1), ayv.min(1), ayv.max(1),
+                    bxv.min(1), bxv.max(1), byv.min(1), byv.max(1),
+                )[:, None, :]
+                act = act & ov
+                px, py = px * ov, py * ov
             pieces.append(
                 (px.reshape(2 * Gn, B), py.reshape(2 * Gn, B),
                  qx.reshape(2 * Gn, B), qy.reshape(2 * Gn, B),
@@ -526,6 +542,13 @@ def collide_batched(world, s: _SoA, terrain_override=None) -> ContactsBM:
             cy4 = jnp.stack([lby, lby, uby, uby], axis=1)
             em4 = np.stack([edge_mask_for(4, 4)] * Gn)
             px, py, qx, qy, act, wgt = _pp_manifold_bm(cx4, cy4, em4, bxv, byv, emb)
+            if world.config.broadphase:
+                ov = _overlap_bm(
+                    lbx, ubx, lby, uby,
+                    bxv.min(1), bxv.max(1), byv.min(1), byv.max(1),
+                )[:, None, :]
+                act = act & ov
+                px, py = px * ov, py * ov
             pieces.append(
                 (px.reshape(2 * Gn, B), py.reshape(2 * Gn, B),
                  qx.reshape(2 * Gn, B), qy.reshape(2 * Gn, B),
@@ -551,6 +574,14 @@ def collide_batched(world, s: _SoA, terrain_override=None) -> ContactsBM:
             px, py, qx, qy, act = _cp_bm(
                 axv[:, 0, :], ayv[:, 0, :], ra, bxv, byv, emb
             )
+            if world.config.broadphase:
+                cx, cy = axv[:, 0, :], ayv[:, 0, :]
+                ov = _overlap_bm(
+                    cx - ra, cx + ra, cy - ra, cy + ra,
+                    bxv.min(1), bxv.max(1), byv.min(1), byv.max(1),
+                )
+                act = act & ov
+                px, py = px * ov, py * ov
         elif g.kernel == "area_cb":
             px, py, qx, qy, act = _area_cb_bm(
                 axv[:, 0, :], ayv[:, 0, :], ra,

@@ -206,12 +206,61 @@ def _edge_masks(parts: Parts, idx) -> jnp.ndarray:
     )
 
 
-def collide(world_parts: Parts, table: PairTable, narrowphase: str = "sat") -> Contact:
+# AABB broad-phase slack: a true contact always has overlapping AABBs, so a
+# small positive margin makes the cull conservative under f32 noise.
+BROADPHASE_MARGIN = 1e-6
+
+
+def _poly_aabb(v):
+    """[.., G, V, 2] world vertices -> (lo, hi) [.., G, 2].
+
+    Repeat-padded vertex tables are min/max-safe (pad rows duplicate real
+    vertices)."""
+    return v.min(axis=-2), v.max(axis=-2)
+
+
+def _circle_aabb(c, r):
+    """[.., G, 2] centers + [.., G] radii -> (lo, hi)."""
+    return c - r[..., None], c + r[..., None]
+
+
+def _aabb_overlap(a, b):
+    """(lo, hi) pairs -> [.., G] bool overlap mask (the reference's
+    possibly_collides_with, /root/reference/cotix/_universal_shape.py:109-110)."""
+    (alo, ahi), (blo, bhi) = a, b
+    m = BROADPHASE_MARGIN
+    return jnp.all((alo <= bhi + m) & (blo <= ahi + m), axis=-1)
+
+
+def _apply_broadphase(out: Contact, ov, manifold: bool) -> Contact:
+    """AND an AABB pre-mask into a group's contact lanes (zeroing culled
+    penetrations so downstream invariants hold)."""
+    if manifold:
+        ov = jnp.repeat(ov, 2, axis=-1)
+    return Contact(
+        penetration=out.penetration * ov[..., None],
+        point=out.point,
+        active=out.active & ov,
+        weight=out.weight,
+    )
+
+
+def collide(
+    world_parts: Parts,
+    table: PairTable,
+    narrowphase: str = "sat",
+    broadphase: bool = False,
+) -> Contact:
     """Run every pair group's kernel; returns a flat [.., C] contact buffer.
 
     ``world_parts`` must already be in the world frame
     (``Parts.to_world``).  Batch axes lead; pair-group gathers index the
     part axis (-3 for verts, -1 for radius).
+
+    ``broadphase`` ANDs a cheap AABB-overlap pre-mask into the cp/bp/pp
+    groups' activity (circle/box kernels are self-masking: their own
+    activity test is at most the AABB test).  Conservative: never culls a
+    truly penetrating pair.
     """
     v = world_parts.verts  # [.., P, V, 2]
     r = world_parts.radius  # [P] (unbatched leaf) or [.., P]
@@ -247,6 +296,9 @@ def collide(world_parts: Parts, table: PairTable, narrowphase: str = "sat") -> C
                 )(va[..., 0, :], ra, vb, emb)
             else:
                 out = jax.vmap(contact_circle_polygon)(va[..., 0, :], ra, vb, emb)
+            if broadphase:
+                ov = _aabb_overlap(_circle_aabb(va[..., 0, :], ra), _poly_aabb(vb))
+                out = _apply_broadphase(out, ov, manifold=False)
         elif g.kernel == "bp":
             emb = _edge_masks(world_parts, ib)
             if narrowphase == "gjk_epa":
@@ -261,6 +313,11 @@ def collide(world_parts: Parts, table: PairTable, narrowphase: str = "sat") -> C
                     va[..., 0, :], va[..., 1, :], vb, emb
                 )
                 out = _flatten_manifold(out)
+            if broadphase:
+                ov = _aabb_overlap(
+                    (va[..., 0, :], va[..., 1, :]), _poly_aabb(vb)
+                )
+                out = _apply_broadphase(out, ov, manifold=narrowphase != "gjk_epa")
         elif g.kernel == "pp":
             ema = _edge_masks(world_parts, ia)
             emb = _edge_masks(world_parts, ib)
@@ -279,6 +336,9 @@ def collide(world_parts: Parts, table: PairTable, narrowphase: str = "sat") -> C
             else:
                 out = jax.vmap(contact_polygon_polygon_manifold)(va, ema, vb, emb)
                 out = _flatten_manifold(out)
+            if broadphase:
+                ov = _aabb_overlap(_poly_aabb(va), _poly_aabb(vb))
+                out = _apply_broadphase(out, ov, manifold=narrowphase != "gjk_epa")
         elif g.kernel == "area_cb":
             out = jax.vmap(contact_circle_in_box)(
                 va[..., 0, :], ra, vb[..., 0, :], vb[..., 1, :]

@@ -53,6 +53,12 @@ class WorldConfig:
     gravity: tuple = (0.0, 0.0)
     integrator: str = "reference"  # "reference" | "symplectic"
     narrowphase: str = "sat"  # "sat" (fast, exact MTV) | "gjk_epa" (reference path)
+    # AABB broad-phase pre-mask on the cp/bp/pp pair groups (the reference's
+    # possibly_collides_with, _universal_shape.py:109-110).  Conservative —
+    # never culls a truly penetrating pair — but suppresses phantom
+    # far-apart activity from narrow-phase float noise; disable for bitwise
+    # parity with reference-mode trajectories.
+    broadphase: bool = True
     solver_mode: str = "block"  # block | jacobi | gauss_seidel | random_one_per_body
     solver_iterations: int = 4
     position_iterations: int = 3  # split-impulse passes (block mode only)
@@ -165,7 +171,10 @@ class World(struct.PyTreeNode):
 
     def detect_contacts(self, state: BodyState) -> Contact:
         return collide(
-            self.world_parts(state), self.table, narrowphase=self.config.narrowphase
+            self.world_parts(state),
+            self.table,
+            narrowphase=self.config.narrowphase,
+            broadphase=self.config.broadphase,
         )
 
     def step(

@@ -75,19 +75,45 @@ class BilliardsState(struct.PyTreeNode):
 
 
 def _rack_positions(n_object: int) -> np.ndarray:
-    """Cue on the left, object balls racked in a triangle on the right."""
-    pos = [(-0.5, 0.0)]
-    placed, row = 0, 0
-    gap = 2.05 * BALL_R
+    """Cue on the left, object balls racked in a triangle on the right.
+
+    The rack self-fits to the table: rows are capped at the count that fits
+    the table height (triangle becomes a trapezoid for large n), and the
+    apex slides left so the back row clears the right cushion.  Small racks
+    (n<=15) keep the classic apex at x=0.45.
+    """
+    # 2.2r spacing: nearest-neighbour distance is ~1.003*gap = 0.088, which
+    # leaves 0.008 of clearance over the 0.08 contact distance — enough that
+    # the +/-0.002 per-ball reset jitter (worst-case approach 2*0.002*sqrt(2)
+    # ~= 0.0057) can never start two balls interpenetrating.
+    gap = 2.2 * BALL_R
+    margin = 0.01
+    # row height budget reserves gap/2 for the anti-align stagger below
+    max_per_row = int((2.0 * (HALF_H - BALL_R - margin) - gap) // gap) + 1
+    # simulate row fill to learn the row count, then place
+    counts = []
+    placed = 0
     while placed < n_object:
-        for i in range(row + 1):
-            if placed >= n_object:
-                break
-            x = 0.45 + row * gap * 0.87
-            y = (i - row / 2.0) * gap
-            pos.append((x, y))
-            placed += 1
-        row += 1
+        c = min(len(counts) + 1, max_per_row, n_object - placed)
+        counts.append(c)
+        placed += c
+    x_apex = min(0.45, HALF_W - BALL_R - margin - (len(counts) - 1) * gap * 0.87)
+    if x_apex <= BALL_R - 0.5:  # rack would reach the cue / left half
+        raise ValueError(
+            f"{n_object} object balls cannot be racked on the "
+            f"{2 * HALF_W}x{2 * HALF_H} table"
+        )
+    pos = [(-0.5, 0.0)]
+    for row, c in enumerate(counts):
+        x = x_apex + row * gap * 0.87
+        # stagger: adjacent rows' y-grids must sit gap/2 apart, else two
+        # same-count rows (the capped trapezoid region) align vertically and
+        # land only 0.87*gap apart.  A row's natural grid offset is 0 for
+        # odd counts, gap/2 for even; shift to alternate 0, gap/2, 0, ...
+        natural = 0.0 if c % 2 else 0.5
+        shift = (((row % 2) * 0.5 - natural) % 1.0) * gap
+        for i in range(c):
+            pos.append((x, (i - (c - 1) / 2.0) * gap + shift))
     return np.asarray(pos, np.float32)
 
 
@@ -163,7 +189,7 @@ class Billiards(Environment, BatchedEnvironmentMixin):
     def reset_fn(self, key) -> BilliardsState:
         jkey, skey = jax.random.split(key)
         n = self.n_balls
-        jitter = jax.random.uniform(jkey, (n, 2), minval=-0.004, maxval=0.004)
+        jitter = jax.random.uniform(jkey, (n, 2), minval=-0.002, maxval=0.002)
         b = self._init_bodies
         b = b.replace(pos=b.pos.at[:n].add(jitter))
         return BilliardsState(
@@ -407,7 +433,7 @@ def _bl_step_planes(self, ps: BilliardsPlanes, actions):
     rkeys, carry_keys = keys[:, 0], keys[:, 1]
     jkeys = jax.vmap(jax.random.split)(rkeys)[:, 0]
     jit2 = jax.vmap(
-        lambda k: jax.random.uniform(k, (self.n_balls, 2), minval=-0.004, maxval=0.004)
+        lambda k: jax.random.uniform(k, (self.n_balls, 2), minval=-0.002, maxval=0.002)
     )(jkeys)  # [B, n, 2]
     ipx, ipy, _ivx, _ivy, iang, _iom = (
         jnp.asarray(x) for x in self._init_planes_np

@@ -33,8 +33,12 @@ INF = float("inf")
 
 
 def supports_fused_step(world) -> bool:
-    return all(g.kernel == "pp" for g in world.table.groups) and (
-        world.config.solver_mode == "block"
+    return (
+        all(g.kernel == "pp" for g in world.table.groups)
+        and world.config.solver_mode == "block"
+        # the fused kernel has no AABB pre-mask stage; keep bit-exactness
+        # with the split path by only fusing when broadphase is off
+        and not world.config.broadphase
     )
 
 

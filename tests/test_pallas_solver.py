@@ -75,8 +75,14 @@ def test_fused_step_kernel_matches_physics_core(contact_state):
         supports_fused_step,
     )
 
+    import dataclasses
+
     env = LunarLander()
-    world = env.world
+    # the fused kernel has no broad-phase stage; it only engages (and is
+    # only bit-exact against) broadphase-off worlds
+    world = env.world.replace(
+        config=dataclasses.replace(env.world.config, broadphase=False)
+    )
     assert supports_fused_step(world)
     B = TILE_B
     states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(1), B))
