@@ -65,15 +65,35 @@ def support(parts: Parts, direction, part_indices=None):
     return best_p
 
 
-def collides_with(parts_a: Parts, parts_b: Parts, key=None) -> jnp.ndarray:
-    """True if any part of A overlaps any part of B (GJK per pair)."""
+def collides_with(parts_a: Parts, parts_b: Parts, key=None, details: bool = False):
+    """True if any part of A overlaps any part of B (GJK per pair).
+
+    With ``details=True`` returns ``(hit, (simplex, part_a, part_b))`` — the
+    GJK simplex and part indices of the first colliding pair, reusable to
+    seed EPA (the reference's rich return,
+    /root/reference/cotix/_universal_shape.py:87-107).  When nothing
+    collides the simplex is the last pair's (garbage, as in the reference)
+    and the indices are -1.
+    """
     hit = jnp.zeros((), bool)
+    simplex = None
+    pa = jnp.asarray(-1, jnp.int32)
+    pb = jnp.asarray(-1, jnp.int32)
     for i in range(parts_a.n_parts):
         ka, ga = _part_geom(parts_a, i)
         for j in range(parts_b.n_parts):
             kb, gb = _part_geom(parts_b, j)
             res = gjk(_sup(ka), ga, _sup(kb), gb)
+            take = res.colliding & ~hit  # first colliding pair wins
+            if simplex is None:
+                simplex = res.simplex
+            else:
+                simplex = jnp.where(take, res.simplex, simplex)
+            pa = jnp.where(take, i, pa)
+            pb = jnp.where(take, j, pb)
             hit = hit | res.colliding
+    if details:
+        return hit, (simplex, pa, pb)
     return hit
 
 

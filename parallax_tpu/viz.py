@@ -38,33 +38,50 @@ class Renderer:
     def blank(self) -> np.ndarray:
         return np.zeros((self.height, self.width, 3), np.uint8)
 
+    def _px_bbox(self, px_lo, px_hi):
+        """Clamp a float pixel bbox to frame bounds -> (x0, x1, y0, y1) ints
+        (half-open); empty boxes collapse to zero size."""
+        x0 = max(int(np.floor(px_lo[0])), 0)
+        y0 = max(int(np.floor(px_lo[1])), 0)
+        x1 = min(int(np.ceil(px_hi[0])) + 1, self.width)
+        y1 = min(int(np.ceil(px_hi[1])) + 1, self.height)
+        return x0, max(x1, x0), y0, max(y1, y0)
+
     def draw_circle(self, frame, center, radius, color=(200, 200, 200)):
         c = self._to_px(np.asarray(center, np.float64))
-        x0, x1, y0, y1 = self.extent
-        rpx = radius / (x1 - x0) * (self.width - 1)
-        yy, xx = np.mgrid[0 : self.height, 0 : self.width]
+        x0e, x1e, y0e, y1e = self.extent
+        rpx = radius / (x1e - x0e) * (self.width - 1)
+        # rasterize only the circle's pixel bbox, not the full frame
+        x0, x1, y0, y1 = self._px_bbox(c - rpx, c + rpx)
+        yy, xx = np.mgrid[y0:y1, x0:x1]
         mask = (xx - c[0]) ** 2 + (yy - c[1]) ** 2 <= rpx**2
-        frame[mask] = color
+        frame[y0:y1, x0:x1][mask] = color
         return frame
 
     def draw_polygon(self, frame, verts, color=(255, 255, 255)):
         """Scanline-free fill via half-plane tests (small n, debug use)."""
         v = np.asarray(verts, np.float64)
         px = self._to_px(v)
-        yy, xx = np.mgrid[0 : self.height, 0 : self.width]
-        inside = np.ones((self.height, self.width), bool)
-        sign = 0.0
+        # rasterize only the polygon's pixel bbox, not the full frame
+        x0, x1, y0, y1 = self._px_bbox(px.min(axis=0), px.max(axis=0))
+        yy, xx = np.mgrid[y0:y1, x0:x1]
+        inside = np.ones(yy.shape, bool)
         n = len(px)
+        # winding from the signed area: interior pixels sit on the same side
+        # of every edge, and which side is fixed by the orientation
+        area2 = sum(
+            px[i][0] * px[(i + 1) % n][1] - px[(i + 1) % n][0] * px[i][1]
+            for i in range(n)
+        )
+        sign = 1.0 if area2 >= 0 else -1.0
         for i in range(n):
             a, b = px[i], px[(i + 1) % n]
             e = b - a
             if np.allclose(e, 0):
                 continue
             cross = e[0] * (yy - a[1]) - e[1] * (xx - a[0])
-            if sign == 0.0:
-                sign = 1.0 if np.median(cross) >= 0 else -1.0
             inside &= (cross * sign) >= 0
-        frame[inside] = color
+        frame[y0:y1, x0:x1][inside] = color
         return frame
 
     def draw_box(self, frame, lower, upper, color=(255, 255, 255)):
@@ -155,6 +172,45 @@ class Painter:
             self.frame = self.renderer.blank()
 
         jax.debug.callback(_cb)
+
+
+class Window:  # pragma: no cover - optional dependency, needs a display
+    """Live pygame window (the reference's PyPainter singleton display,
+    /root/reference/cotix/_viz.py:6-49).  Optional: requires pygame."""
+
+    def __init__(self, width=800, height=600, title="parallax"):
+        try:
+            import pygame
+        except ImportError as e:
+            raise ImportError("viz.Window requires pygame") from e
+        self._pygame = pygame
+        pygame.init()
+        self.screen = pygame.display.set_mode((width, height))
+        pygame.display.set_caption(title)
+
+    def show(self, frame: np.ndarray) -> bool:
+        """Blit an RGB uint8 frame; returns False once the window is closed."""
+        pg = self._pygame
+        for event in pg.event.get():
+            if event.type == pg.QUIT:
+                pg.quit()
+                return False
+        surf = pg.surfarray.make_surface(np.transpose(frame, (1, 0, 2)))
+        self.screen.blit(surf, (0, 0))
+        pg.display.flip()
+        return True
+
+    def close(self):
+        self._pygame.quit()
+
+
+def show(frame: np.ndarray, window: Optional[Window] = None) -> Window:
+    """Display a frame in a (new or reused) pygame window; returns the
+    window for reuse across frames.  Requires pygame."""
+    if window is None:
+        window = Window(width=frame.shape[1], height=frame.shape[0])
+    window.show(frame)
+    return window
 
 
 def save_gif(frames, path, fps=30):  # pragma: no cover - optional dependency

@@ -56,3 +56,32 @@ def test_renderer_draws_lander():
     frame = r.render_env(env, state)
     assert frame.shape == (120, 160, 3)
     assert frame.max() > 0  # something was drawn
+
+
+def test_renderer_bbox_and_offscreen():
+    """Primitives rasterize only their pixel bbox and clamp off-screen
+    cleanly (Renderer used to touch O(W*H) pixels per primitive)."""
+    import numpy as np
+
+    r = Renderer(width=100, height=80, extent=(-1.0, 1.0, -0.8, 0.8))
+    f = r.blank()
+    r.draw_circle(f, (0.0, 0.0), 0.1, color=(255, 0, 0))
+    painted = (f[..., 0] > 0).sum()
+    # a 0.1-radius circle covers ~pi*(rpx)^2 ~ 77 px, nowhere near the frame
+    assert 0 < painted < 200
+    # partially off-screen circle / polygon: no crash, clamped
+    r.draw_circle(f, (1.05, 0.0), 0.2, color=(0, 255, 0))
+    r.draw_polygon(f, [(-1.3, -0.2), (-0.9, -0.2), (-0.9, 0.2), (-1.3, 0.2)],
+                   color=(0, 0, 255))
+    assert (f[..., 1] > 0).any() and (f[..., 2] > 0).any()
+    # fully off-screen: silently nothing
+    g = r.blank()
+    r.draw_circle(g, (5.0, 5.0), 0.2)
+    r.draw_polygon(g, [(3.0, 3.0), (4.0, 3.0), (3.5, 4.0)])
+    assert g.max() == 0
+    # winding-independent fill: CW and CCW vertex orders paint identically
+    a, b = r.blank(), r.blank()
+    quad = [(-0.2, -0.2), (0.2, -0.2), (0.2, 0.2), (-0.2, 0.2)]
+    r.draw_polygon(a, quad)
+    r.draw_polygon(b, quad[::-1])
+    assert (a == b).all() and a.max() > 0

@@ -85,6 +85,32 @@ def test_collides_and_penetrates_roundtrip():
     assert float(np.linalg.norm(np.asarray(pen2))) < 0.03
 
 
+def test_collides_with_rich_return():
+    """details=True names the colliding part pair and hands back a GJK
+    simplex EPA can consume (reference _universal_shape.py:87-107)."""
+    from parallax_tpu.geometry.epa import epa
+    from parallax_tpu.geometry.gjk import gjk  # noqa: F401 (simplex shape doc)
+
+    a = Parts.from_specs([circle(0.5, (0.0, 0.0)), circle(0.5, (1.5, 0.0))], [0, 0])
+    b = Parts.from_specs([circle(0.5, (2.2, 0.0))], [0])
+
+    hit, (simplex, pa, pb) = collides_with(a, b, details=True)
+    assert bool(hit)
+    assert int(pa) == 1 and int(pb) == 0  # only A's second circle touches B
+    # the returned simplex seeds EPA for the named pair
+    from parallax_tpu.geometry.composite import _part_geom, _sup
+
+    ka, ga = _part_geom(a, 1)
+    kb, gb = _part_geom(b, 0)
+    pen = epa(_sup(ka), ga, _sup(kb), gb, simplex, 48)
+    assert abs(float(np.linalg.norm(np.asarray(pen))) - 0.3) < 0.02
+
+    miss, (_, pa2, pb2) = collides_with(
+        a, Parts.from_specs([circle(0.5, (4.0, 0.0))], [0]), details=True
+    )
+    assert not bool(miss) and int(pa2) == -1 and int(pb2) == -1
+
+
 def test_possibly_collides_broad_phase():
     a = Parts.from_specs([box((-1.0, -1.0), (1.0, 1.0))], [0])
     near = Parts.from_specs([circle(0.5, (1.4, 0.0))], [0])
