@@ -77,6 +77,15 @@ class LanderConfig:
     fuel_cost_side: float = 0.003
     max_steps: int = 1000
     solver_mode: str = "block"
+    # reference-parity knobs: narrowphase="gjk_epa" +
+    # solver_mode="random_one_per_body" + contact=ContactSolverConfig
+    # .reference() + broadphase=False runs the lander through the exact
+    # reference pipeline (vmapped path only — the batched fast path
+    # rejects non-sat/non-block configs).  Pinned by the golden-trajectory
+    # fixtures (tests/test_golden_parity.py).
+    narrowphase: str = "sat"
+    broadphase: bool = True
+    contact: object = None  # Optional[ContactSolverConfig]; None = default
     # lander contact graphs are shallow (legs + lander vs ground); (3, 2)
     # is empirically indistinguishable from (4, 3) on landing/drop
     # trajectories and ~15% faster end-to-end
@@ -223,6 +232,9 @@ class LunarLander(BatchedEnvironmentMixin, Environment):
             dt=config.dt,
             gravity=(0.0, -config.gravity),
             integrator="reference",
+            narrowphase=config.narrowphase,
+            broadphase=config.broadphase,
+            **({} if config.contact is None else {"contact": config.contact}),
             solver_mode=config.solver_mode,
             solver_iterations=config.solver_iterations,
             position_iterations=config.position_iterations,
@@ -350,7 +362,15 @@ class LunarLander(BatchedEnvironmentMixin, Environment):
         )
 
         world = self._world_with_terrain(state.terrain)
-        b, contacts = world.step(b)
+        # the randomized reference solver draws its lane choice from the
+        # episode stream (fold_in: no extra key in the state tree; state.key
+        # is re-split by Environment.step each step so this stays fresh)
+        solver_key = (
+            jax.random.fold_in(state.key, 0x501E)
+            if world.config.solver_mode == "random_one_per_body"
+            else None
+        )
+        b, contacts = world.step(b, key=solver_key)
         b = b.replace(omega=b.omega * self._omega_damp)
 
         act = contacts.active
