@@ -12,6 +12,16 @@ reference:
   equinox's ``error_if``.  Poisoning keeps the program SPMD-safe: one bad
   world out of 8192 must not abort the whole mesh; the per-world NaN
   watchdog (see ``parallax_tpu.envs.base``) resets that world instead.
+
+Poisoning semantics: ``check(cond, msg, *arrays)`` treats ``cond`` as a
+per-lane validity mask whose axes align with each array's *leading* axes
+(the batch-major convention of the env layer).  Failing lanes of every
+float array are replaced with NaN in the returned value(s); integer/bool
+arrays pass through untouched (NaN has no integer encoding — the float
+state is what the watchdog inspects).  With raising enabled (the default,
+``set_raise_on_violation``/``PARALLAX_CHECKS_RAISE``) a host callback also
+raises, which is the right mode for single-world debugging; fleet runs
+disable raising and rely on poison → watchdog → reset.
 """
 
 from __future__ import annotations
@@ -22,8 +32,10 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _DEBUG = os.environ.get("PARALLAX_DEBUG_CHECKS", "0") == "1"
+_RAISE = os.environ.get("PARALLAX_CHECKS_RAISE", "1") == "1"
 
 
 def checks_enabled() -> bool:
@@ -35,23 +47,61 @@ def set_debug_checks(enabled: bool) -> None:
     _DEBUG = enabled
 
 
-def check(cond, message: str, *arrays):
-    """If debug checks are on, report (host-side) when ``cond`` is False.
+def set_raise_on_violation(enabled: bool) -> None:
+    """Host-raise on violation (debug sessions) vs. poison-only (fleets)."""
+    global _RAISE
+    _RAISE = enabled
 
-    ``cond`` may be an array of any shape; the check fires if any element is
-    False.  Returns the first array (or None) unchanged so it can be used
-    inline: ``x = check(jnp.isfinite(x).all(), "x finite", x)``.
+
+def poison_where(bad, *arrays):
+    """NaN-poison lanes of each float array where ``bad`` is True.
+
+    ``bad``'s axes align with each array's leading axes (batch-major);
+    trailing axes broadcast.  Non-float arrays pass through unchanged.
+    Returns a single array for one input, else a tuple.
     """
-    out = arrays[0] if arrays else None
+    bad = jnp.asarray(bad)
+    out = []
+    for a in arrays:
+        a = jnp.asarray(a)
+        if not jnp.issubdtype(a.dtype, jnp.floating):
+            out.append(a)
+            continue
+        b = bad.reshape(bad.shape + (1,) * (a.ndim - bad.ndim)) if a.ndim > bad.ndim else bad
+        out.append(jnp.where(b, jnp.nan, a))
+    return out[0] if len(out) == 1 else tuple(out)
+
+
+def check(cond, message: str, *arrays):
+    """Contract check: poison failing lanes, optionally raise host-side.
+
+    ``cond`` is a per-lane validity mask (True = ok) aligned with each
+    array's leading axes; a scalar cond guards whole arrays.  When debug
+    checks are off this is an identity pass-through of ``arrays`` (or None).
+    When on: failing lanes of float arrays come back NaN-poisoned (the
+    per-world watchdog then truncates + resets just those worlds), and if
+    raising is enabled a ``jax.debug.callback`` raises AssertionError on
+    the host.
+    """
+    if not arrays:
+        out = None
+    elif len(arrays) == 1:
+        out = arrays[0]
+    else:
+        out = tuple(arrays)
     if not _DEBUG:
         return out
 
-    def _report(bad, *vals):
-        if bad:
-            raise AssertionError(f"parallax contract violated: {message}")
+    if arrays:
+        out = poison_where(~jnp.asarray(cond), *arrays)
 
-    bad = ~jnp.all(cond)
-    jax.debug.callback(_report, bad, *arrays)
+    if _RAISE:
+
+        def _report(bad):
+            if bad:
+                raise AssertionError(f"parallax contract violated: {message}")
+
+        jax.debug.callback(_report, ~jnp.all(cond))
     return out
 
 
@@ -87,11 +137,46 @@ def post_condition(predicate: Callable, message: str = "", provide_input: bool =
     return deco
 
 
-def class_invariant(cls):
-    """Class decorator: check ``__invariant__(self)`` before every public
+def _check_fields(self, cls) -> None:
+    """Per-field annotation checks (reference class_invariant's
+    annotation enforcement + "detect NaNs early" rationale,
+    /root/reference/cotix/_design_by_contract.py:61-107).
 
-    method call (reference class_invariant, _design_by_contract.py:61-107 —
-    its "detect NaNs early" rationale).  No-op unless debug checks are on.
+    For every annotated field present on the instance: if the annotation
+    is a plain runtime class, enforce isinstance; independently, any
+    float array field is checked finite.  Host-side (raising) only —
+    field checks guard programmer errors, not per-lane physics state.
+    """
+    anns = {}
+    for klass in reversed(cls.__mro__):
+        anns.update(getattr(klass, "__annotations__", {}))
+    for name, ann in anns.items():
+        if not hasattr(self, name):
+            continue
+        val = getattr(self, name)
+        if isinstance(ann, type) and not isinstance(val, (jax.core.Tracer,)):
+            # plain-class annotations (int, float, str, ndarray, ...);
+            # typing constructs (Optional[...], jaxtyping strings) skipped
+            ok = isinstance(val, ann) or (
+                ann in (float, int) and isinstance(val, (int, float, np.floating, np.integer))
+            )
+            if not ok and not isinstance(val, (jnp.ndarray, np.ndarray)):
+                raise TypeError(
+                    f"{cls.__name__}.{name}: expected {ann.__name__}, "
+                    f"got {type(val).__name__}"
+                )
+        if isinstance(val, (jnp.ndarray, np.ndarray)) and jnp.issubdtype(
+            jnp.asarray(val).dtype, jnp.floating
+        ):
+            check(jnp.all(jnp.isfinite(val)), f"{cls.__name__}.{name} is finite")
+
+
+def class_invariant(cls):
+    """Class decorator: before every public method call, check
+    ``__invariant__(self)`` plus every annotated field (type conformance
+    for plain-class annotations; finiteness for float array fields) —
+    the reference's class_invariant, _design_by_contract.py:61-107.
+    No-op unless debug checks are on.
     """
     if not hasattr(cls, "__invariant__"):
         raise TypeError(f"{cls.__name__} needs an __invariant__ method")
@@ -100,6 +185,7 @@ def class_invariant(cls):
         @functools.wraps(fn)
         def checked(self, *args, **kwargs):
             if _DEBUG:
+                _check_fields(self, cls)
                 check(self.__invariant__(), f"invariant of {cls.__name__}")
             return fn(self, *args, **kwargs)
 

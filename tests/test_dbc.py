@@ -67,3 +67,107 @@ def test_checks_disabled_are_free():
 
     # violation ignored when disabled
     assert float(f(jnp.asarray(-1.0))) == -1.0
+
+
+def test_check_poisons_failing_lanes():
+    """Per-lane violation NaN-poisons only the failing worlds' float state
+    (in-graph, jit-safe); ints/bools pass through untouched."""
+    dbc.set_raise_on_violation(False)
+    try:
+        ok = jnp.asarray([True, False, True, False])
+        x = jnp.ones((4, 3))
+        n = jnp.arange(4)
+
+        @jax.jit
+        def f(ok, x, n):
+            return dbc.check(ok, "lanes valid", x, n)
+
+        px, pn = f(ok, x, n)
+        assert np.isfinite(np.asarray(px[0])).all()
+        assert np.isnan(np.asarray(px[1])).all()
+        assert np.isfinite(np.asarray(px[2])).all()
+        assert np.isnan(np.asarray(px[3])).all()
+        assert (np.asarray(pn) == np.arange(4)).all()  # int array untouched
+    finally:
+        dbc.set_raise_on_violation(True)
+
+
+def test_poisoned_world_resets_without_aborting_mesh():
+    """End-to-end: a contract violation in one world of a batch poisons
+    that world, the env NaN watchdog truncates + resets it, and the other
+    worlds keep stepping — the SPMD-safe failure mode the docstring
+    promises (vs. the reference's whole-program eqx.error_if abort)."""
+    from parallax_tpu.envs.lunar_lander import LunarLander
+
+    dbc.set_raise_on_violation(False)
+    try:
+        class ContractLander(LunarLander):
+            def step_fn(self, s, a):
+                # altitude contract: lander body must stay below y=50 —
+                # world 2's state is poisoned by force-violating it
+                s2, ts = super().step_fn(s, a)
+                ok = s2.bodies.pos[0, 1] < 50.0
+                return (
+                    s2.replace(
+                        bodies=s2.bodies.replace(
+                            pos=dbc.check(ok, "lander altitude sane", s2.bodies.pos)
+                        )
+                    ),
+                    ts,
+                )
+
+        patched = ContractLander()
+        B = 4
+        states = jax.vmap(patched.reset_fn)(
+            jax.random.split(jax.random.PRNGKey(3), B)
+        )
+
+        # violate the contract in world 2 only
+        pos = states.bodies.pos
+        states = states.replace(
+            bodies=states.bodies.replace(pos=pos.at[2, 0, 1].set(99.0))
+        )
+        a = jnp.zeros((B, patched.action_size))
+        new_states, ts = jax.jit(jax.vmap(patched.step))(states, a)
+
+        ts_trunc = np.asarray(ts.truncated)
+        assert ts_trunc[2] and not ts_trunc[[0, 1, 3]].any()
+        # post-reset every world (incl. 2) is finite and steps on
+        assert np.isfinite(np.asarray(new_states.bodies.pos)).all()
+        again, ts2 = jax.jit(jax.vmap(patched.step))(new_states, a)
+        assert np.isfinite(np.asarray(again.bodies.pos)).all()
+        assert not np.asarray(ts2.truncated).any()
+    finally:
+        dbc.set_raise_on_violation(True)
+
+
+def test_class_invariant_field_annotations():
+    """Annotated fields are enforced: wrong plain-class type raises
+    TypeError; non-finite float array fields trip the NaN-early check
+    (reference _design_by_contract.py:61-107)."""
+
+    @dbc.class_invariant
+    class Probe:
+        name: str
+        x: jnp.ndarray
+
+        def __init__(self, name, x):
+            self.name = name
+            self.x = x
+
+        def __invariant__(self):
+            return True
+
+        def poke(self):
+            return self.x
+
+    p = Probe("ok", jnp.ones(3))
+    assert p.poke().shape == (3,)
+
+    bad_type = Probe(123, jnp.ones(3))
+    with pytest.raises(TypeError, match="expected str"):
+        bad_type.poke()
+
+    bad_nan = Probe("ok", jnp.asarray([1.0, jnp.nan]))
+    with pytest.raises(AssertionError, match="finite"):
+        bad_nan.poke()
