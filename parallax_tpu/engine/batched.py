@@ -427,6 +427,41 @@ def _area_cb_bm(cx, cy, r, lbx, lby, ubx, uby):
     return pen_x * active, pen_y * active, ptx, pty, active
 
 
+def _area_vb_bm(vxa, vya, lbx, lby, ubx, uby):
+    """Batch-minor verts-in-box containment: [G, V, B] contained vertices vs
+    [G, B] box-area bounds -> [G, B] lanes (twin of
+    contacts.contact_verts_in_box; wall priority and vertex tie-breaking
+    match the vmapped kernel bit-for-bit)."""
+    hix, hiy = vxa.max(1), vya.max(1)
+    lox, loy = vxa.min(1), vya.min(1)
+    dhx, dhy = hix - ubx, hiy - uby
+    dlx, dly = lbx - lox, lby - loy
+    over_hx = jnp.maximum(dhx, 0.0)
+    over_hy = jnp.maximum(dhy, 0.0)
+    over_lx = jnp.maximum(dlx, 0.0)
+    over_ly = jnp.maximum(dly, 0.0)
+    pen_x = -over_hx + over_lx
+    pen_y = -over_hy + over_ly
+    depth = jnp.maximum(jnp.maximum(over_hx, over_hy), jnp.maximum(over_lx, over_ly))
+    active = depth > 0
+    best = jnp.maximum(jnp.maximum(dhx, dhy), jnp.maximum(dlx, dly))
+    is_hx = best == dhx
+    is_hy = (~is_hx) & (best == dhy)
+    is_lx = (~is_hx) & (~is_hy) & (best == dlx)
+
+    def _at(idx):
+        g = lambda a: jnp.take_along_axis(a, idx[:, None, :], axis=1)[:, 0, :]
+        return g(vxa), g(vya)
+
+    x_hx, y_hx = _at(jnp.argmax(vxa, axis=1))
+    x_hy, y_hy = _at(jnp.argmax(vya, axis=1))
+    x_lx, y_lx = _at(jnp.argmin(vxa, axis=1))
+    x_ly, y_ly = _at(jnp.argmin(vya, axis=1))
+    ptx = jnp.where(is_hx, x_hx, jnp.where(is_hy, x_hy, jnp.where(is_lx, x_lx, x_ly)))
+    pty = jnp.where(is_hx, y_hx, jnp.where(is_hy, y_hy, jnp.where(is_lx, y_lx, y_ly)))
+    return pen_x * active, pen_y * active, ptx, pty, active
+
+
 def _overlap_bm(alx, ahx, aly, ahy, blx, bhx, bly, bhy):
     """Batch-minor AABB overlap [G, B] (see collider.BROADPHASE_MARGIN)."""
     from parallax_tpu.engine.collider import BROADPHASE_MARGIN as m
@@ -586,6 +621,28 @@ def collide_batched(world, s: _SoA, terrain_override=None) -> ContactsBM:
             px, py, qx, qy, act = _area_cb_bm(
                 axv[:, 0, :], ayv[:, 0, :], ra,
                 bxv[:, 0, :], byv[:, 0, :], bxv[:, 1, :], byv[:, 1, :],
+            )
+        elif g.kernel == "area_pb":
+            px, py, qx, qy, act = _area_vb_bm(
+                axv, ayv,
+                bxv[:, 0, :], byv[:, 0, :], bxv[:, 1, :], byv[:, 1, :],
+            )
+        elif g.kernel == "area_bb":
+            # contained box -> its 4 corners, in box_corners' ordering
+            # (upper, (ux,ly), lower, (lx,uy)) so tie-breaks match vmapped
+            lx, ux = axv[:, 0, :], axv[:, 1, :]
+            ly, uy = ayv[:, 0, :], ayv[:, 1, :]
+            cx4 = jnp.stack([ux, ux, lx, lx], axis=1)
+            cy4 = jnp.stack([uy, ly, ly, uy], axis=1)
+            px, py, qx, qy, act = _area_vb_bm(
+                cx4, cy4,
+                bxv[:, 0, :], byv[:, 0, :], bxv[:, 1, :], byv[:, 1, :],
+            )
+        elif g.kernel in ("area_cp", "area_pp", "area_bp"):
+            raise NotImplementedError(
+                f"the batch-minor fast path does not implement polygon-area "
+                f"containment ({g.kernel!r}); box areas are supported, or "
+                "use jax.vmap(world.step) for polygon areas"
             )
         else:  # pragma: no cover
             raise ValueError(g.kernel)

@@ -41,12 +41,22 @@ from parallax_tpu.geometry.contacts import (
     contact_circle_box,
     contact_circle_circle,
     contact_circle_in_box,
+    contact_circle_in_polygon,
     contact_circle_polygon,
     contact_circle_polygon_gjk_epa,
     contact_polygon_polygon_gjk_epa,
     contact_polygon_polygon_manifold,
+    contact_verts_in_box,
+    contact_verts_in_polygon,
 )
-from parallax_tpu.geometry.shapes import BOX, CIRCLE, POLYGON, Parts, edge_mask_for
+from parallax_tpu.geometry.shapes import (
+    BOX,
+    CIRCLE,
+    POLYGON,
+    Parts,
+    box_corners,
+    edge_mask_for,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,7 +77,20 @@ class PairGroup:
 # singleton-lane kernels first, manifold (2-lane) kernels last: the solver
 # exploits the contiguous interleaved manifold suffix for static partner
 # swaps (see engine.batched.solve_contacts_bm)
-KERNEL_ORDER = ("cc", "cb", "bb", "cp", "area_cb", "bp", "pp")
+KERNEL_ORDER = (
+    "cc",
+    "cb",
+    "bb",
+    "cp",
+    "area_cb",
+    "area_pb",
+    "area_bb",
+    "area_cp",
+    "area_pp",
+    "area_bp",
+    "bp",
+    "pp",
+)
 
 # kernels that emit a 2-point manifold (two contact lanes per pair)
 MANIFOLD_KERNELS = ("bp", "pp")
@@ -134,15 +157,16 @@ def build_pair_table(
                 (cp, cb_, cbody, abody) = (q, p, bj, bi) if ai else (p, q, bi, bj)
                 ck = parts.kind[cp]
                 ak = parts.kind[cb_]
-                if ak != BOX:
+                if ak == BOX:
+                    kernel = {CIRCLE: "area_cb", POLYGON: "area_pb", BOX: "area_bb"}[ck]
+                elif ak == POLYGON:
+                    kernel = {CIRCLE: "area_cp", POLYGON: "area_pp", BOX: "area_bp"}[ck]
+                else:
                     raise NotImplementedError(
-                        "area bodies currently support box parts only"
+                        "circle-shaped area parts are not supported; use a "
+                        "box or convex-polygon area"
                     )
-                if ck != CIRCLE:
-                    raise NotImplementedError(
-                        "containment currently supports circle parts only"
-                    )
-                buckets["area_cb"].append((cp, cb_, cbody, abody))
+                buckets[kernel].append((cp, cb_, cbody, abody))
                 continue
             if (ki, kj) in _KIND_PAIR_TO_KERNEL:
                 kernel = _KIND_PAIR_TO_KERNEL[(ki, kj)]
@@ -343,6 +367,27 @@ def collide(
             out = jax.vmap(contact_circle_in_box)(
                 va[..., 0, :], ra, vb[..., 0, :], vb[..., 1, :]
             )
+        elif g.kernel == "area_pb":
+            out = jax.vmap(contact_verts_in_box)(va, vb[..., 0, :], vb[..., 1, :])
+        elif g.kernel == "area_bb":
+            out = jax.vmap(
+                lambda lo, hi, lb, ub: contact_verts_in_box(
+                    box_corners(lo, hi), lb, ub
+                )
+            )(va[..., 0, :], va[..., 1, :], vb[..., 0, :], vb[..., 1, :])
+        elif g.kernel == "area_cp":
+            emb = _edge_masks(world_parts, ib)
+            out = jax.vmap(contact_circle_in_polygon)(va[..., 0, :], ra, vb, emb)
+        elif g.kernel == "area_pp":
+            emb = _edge_masks(world_parts, ib)
+            out = jax.vmap(contact_verts_in_polygon)(va, vb, emb)
+        elif g.kernel == "area_bp":
+            emb = _edge_masks(world_parts, ib)
+            out = jax.vmap(
+                lambda lo, hi, vb_, em: contact_verts_in_polygon(
+                    box_corners(lo, hi), vb_, em
+                )
+            )(va[..., 0, :], va[..., 1, :], vb, emb)
         else:  # pragma: no cover
             raise ValueError(g.kernel)
         pieces.append(out)

@@ -442,6 +442,87 @@ def contact_circle_in_box(c, r, lb, ub) -> Contact:
     return Contact.single(pen, point, active)
 
 
+def contact_verts_in_box(verts, lb, ub) -> Contact:
+    """Vertex-represented body (polygon, or box via its corners) escaping an
+    axis-aligned box area.
+
+    ``verts`` [V, 2] world-frame; repeat-padded rows are extreme-safe
+    (duplicates never change a min/max/argmax).  Same wall-sum convention
+    as :func:`contact_circle_in_box`; the contact point is the extreme
+    vertex on the deepest wall, so the restoring impulse also torques the
+    body back inside."""
+    hi = verts.max(axis=-2)
+    lo = verts.min(axis=-2)
+    over_hi = hi - ub  # positive where escaping through upper walls
+    over_lo = lb - lo  # positive where escaping through lower walls
+    esc_hi = jnp.maximum(over_hi, 0.0)
+    esc_lo = jnp.maximum(over_lo, 0.0)
+    pen = -esc_hi + esc_lo
+    depth = jnp.maximum(jnp.max(esc_hi), jnp.max(esc_lo))
+    active = depth > 0
+    # extreme vertex per wall: [max-x, max-y, min-x, min-y] vertex indices
+    idx4 = jnp.stack(
+        [
+            jnp.argmax(verts[..., 0]),
+            jnp.argmax(verts[..., 1]),
+            jnp.argmin(verts[..., 0]),
+            jnp.argmin(verts[..., 1]),
+        ]
+    )
+    depths4 = jnp.concatenate([over_hi, over_lo])  # [hi_x, hi_y, lo_x, lo_y]
+    point = verts[idx4[jnp.argmax(depths4)]]
+    pen = jnp.where(active, pen, jnp.zeros_like(pen))
+    return Contact.single(pen, point, active)
+
+
+def _poly_inward_normals(verts, edge_mask):
+    """Unit inward edge normals of a convex area polygon ([V, 2], mask [V]).
+
+    Polygons follow the ordering of :func:`_sat_axes` (outward =
+    ``(e.y, -e.x)``), so inward is the negation."""
+    nxt = jnp.roll(verts, shift=-1, axis=-2)
+    e = nxt - verts
+    elen2 = jnp.sum(e**2, axis=-1)
+    n_in = jnp.stack([-e[..., 1], e[..., 0]], axis=-1)
+    n_in = n_in / jnp.sqrt(jnp.where(elen2 == 0, 1.0, elen2))[..., None]
+    return n_in, edge_mask & (elen2 > 0)
+
+
+def contact_circle_in_polygon(c, r, verts, edge_mask) -> Contact:
+    """Circle escaping a convex polygon area: the center must keep inward
+    distance >= r from every edge line.  Corner escapes are measured per
+    edge (conservative, same per-wall logic as the box variant)."""
+    n_in, valid = _poly_inward_normals(verts, edge_mask)
+    d_in = jnp.sum((c - verts) * n_in, axis=-1)  # [V] positive inside
+    viol = jnp.where(valid, r - d_in, -jnp.inf)  # positive where escaping
+    k = jnp.argmax(viol)
+    depth = viol[k]
+    active = depth > 0
+    pen = n_in[k] * jnp.maximum(depth, 0.0)  # push back inside
+    point = c - n_in[k] * r  # circle surface point on the escaping side
+    return Contact.single(pen, point, active)
+
+
+def contact_verts_in_polygon(verts_a, area_verts, area_edge_mask) -> Contact:
+    """Vertex-represented body escaping a convex polygon area.
+
+    A vertex is outside when its inward distance to some area edge goes
+    negative; the deepest such vertex anchors the contact and the most
+    violated edge's inward normal gives the push-back direction."""
+    n_in, valid = _poly_inward_normals(area_verts, area_edge_mask)
+    # d[v, e] = inward distance of vertex v from area edge e
+    d_in = jnp.einsum("ved,ed->ve", verts_a[:, None, :] - area_verts[None], n_in)
+    viol = jnp.where(valid[None], -d_in, -jnp.inf)  # [Va, Ve] >0 outside edge
+    per_vertex = viol.max(axis=-1)  # escape depth per vertex
+    v = jnp.argmax(per_vertex)
+    k = jnp.argmax(viol[v])
+    depth = per_vertex[v]
+    active = depth > 0
+    pen = n_in[k] * jnp.maximum(depth, 0.0)
+    point = verts_a[v]
+    return Contact.single(pen, point, active)
+
+
 # ---------------------------------------------------------------------------
 # Reference-mode kernels: GJK + EPA narrow phase, edge-mean contact points —
 # the algorithms the reference actually runs for polygon pairs
