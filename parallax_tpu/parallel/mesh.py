@@ -24,9 +24,16 @@ WORLD_AXIS = "worlds"
 
 
 def distributed_init(coordinator_address: Optional[str] = None, **kwargs) -> None:
-    """Initialize multi-host JAX (no-op when single-process)."""
-    if jax.process_count() > 1 or coordinator_address is not None:
-        jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)
+    """Initialize multi-host JAX (no-op when single-process).
+
+    Must run before anything touches the XLA backend, so the
+    single-process decision is made from the arguments alone — probing
+    ``jax.process_count()`` here would itself initialize the backend and
+    make ``jax.distributed.initialize`` impossible (caught by
+    tests/test_distributed.py)."""
+    if coordinator_address is None and not kwargs:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)
 
 
 def make_world_mesh(devices=None, axis: str = WORLD_AXIS) -> Mesh:
