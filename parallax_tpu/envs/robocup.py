@@ -270,19 +270,32 @@ def _robocup_step_fn_batch(self, states: RoboCupState, actions):
     w_cmd = jnp.clip(actions[..., 2], -cfg.robot_max_omega, cfg.robot_max_omega)
 
     b = states.bodies
-    ri = self.robot_idx
-    dv = jnp.clip(
-        v_cmd - b.vel[:, ri],
-        -cfg.robot_max_accel * cfg.dt,
-        cfg.robot_max_accel * cfg.dt,
-    )
-    b = b.replace(
-        vel=b.vel.at[:, ri].add(dv),
-        omega=b.omega.at[:, ri].set(w_cmd),
-    )
+    ri = np.asarray(self.robot_idx)
+    bi = self.ball_idx
+    # batch-minor command planes [n_robots, B]
+    vcx = jnp.swapaxes(v_cmd[..., 0], 0, 1)
+    vcy = jnp.swapaxes(v_cmd[..., 1], 0, 1)
+    wc = jnp.swapaxes(w_cmd, 0, 1)
+    lim = cfg.robot_max_accel * cfg.dt
 
-    b, _con = step_batched(self.world, b)
-    b = b.replace(vel=b.vel.at[:, self.ball_idx].multiply(cfg.ball_damping))
+    def pre(s):
+        # velocity-command tracking with accel clamp, in the batch-minor
+        # frame (never touches the padded-tile [B, n, 2] layout mid-step)
+        dvx = jnp.clip(vcx - s.vx[ri], -lim, lim)
+        dvy = jnp.clip(vcy - s.vy[ri], -lim, lim)
+        return s._replace(
+            vx=s.vx.at[ri].add(dvx),
+            vy=s.vy.at[ri].add(dvy),
+            omega=s.omega.at[ri].set(wc),
+        )
+
+    def post(s):
+        return s._replace(
+            vx=s.vx.at[bi].multiply(cfg.ball_damping),
+            vy=s.vy.at[bi].multiply(cfg.ball_damping),
+        )
+
+    b, _con = step_batched(self.world, b, pre=pre, post=post)
 
     new_states = states.replace(bodies=b, t=states.t + 1)
 
