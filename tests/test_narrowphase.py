@@ -33,6 +33,7 @@ from parallax_tpu.geometry.contacts import (
 )
 from parallax_tpu.geometry.epa import epa
 from parallax_tpu.geometry.gjk import gjk
+from prop_harness import assert_all, assert_rate
 from parallax_tpu.geometry.shapes import (
     box_corners,
     contains_polygon,
@@ -105,15 +106,18 @@ def test_circle_circle_matches_ground_truth():
     out = jax.vmap(contact_circle_circle)(ca, ra, cb, rb)
     dist = jnp.linalg.norm(ca - cb, axis=-1)
     overlap = dist <= ra + rb
-    assert np.array_equal(np.asarray(out.active), np.asarray(overlap))
+    assert_all(np.asarray(out.active) == np.asarray(overlap),
+               "cc activity == ground truth", seeds=(0,))
     # penetration direction from B to A, magnitude = depth
     act = np.asarray(out.active)
     depth = np.asarray(jnp.linalg.norm(out.penetration, axis=-1))
     want = np.asarray(jnp.maximum(ra + rb - dist, 0.0))
-    assert np.allclose(depth[act], want[act], atol=1e-5)
+    assert_all(np.abs(depth[act] - want[act]) < 1e-5, "cc depth exact",
+               seeds=(0,), indices=np.nonzero(act)[0])
     # resolution invariant: moving A by pen separates exactly to touching
     new_dist = np.asarray(jnp.linalg.norm(ca + out.penetration - cb, axis=-1))
-    assert np.all(new_dist[act] >= np.asarray(ra + rb)[act] - 1e-4)
+    assert_all(new_dist[act] >= np.asarray(ra + rb)[act] - 1e-4,
+               "cc resolution separates", seeds=(0,), indices=np.nonzero(act)[0])
 
 
 def test_circle_circle_gjk_agrees():
@@ -126,7 +130,8 @@ def test_circle_circle_gjk_agrees():
     margin = np.abs(dist - rsum) > 1e-3 * rsum
     got = np.asarray(res.colliding)
     want = dist <= rsum
-    assert np.mean(got[margin] == want[margin]) > 0.999
+    assert_rate((got == want)[margin], 0.999, "cc gjk agrees", seeds=(1,),
+                indices=np.nonzero(margin)[0])
 
 
 def test_circle_circle_epa_penetration():
@@ -143,16 +148,17 @@ def test_circle_circle_epa_penetration():
 
     col, pen = jax.vmap(one)(ca, ra, cb, rb)
     col = np.asarray(col)
-    assert col.mean() > 0.98
+    assert_rate(col, 0.98, "cc epa: forced overlaps collide", seeds=(2, 3))
     dist = np.asarray(jnp.linalg.norm(ca - cb, axis=-1))
     depth_want = np.asarray(ra + rb) - dist
     depth_got = np.asarray(jnp.linalg.norm(pen, axis=-1))
     ok = np.abs(depth_got - depth_want)[col] < 0.02 * (1 + depth_want[col])
-    assert ok.mean() > 0.97
+    assert_rate(ok, 0.97, "cc epa depth", seeds=(2, 3), indices=np.nonzero(col)[0])
     # direction: from B to A
     d_ba = np.asarray(ca - cb) / dist[:, None]
     cosang = np.sum(np.asarray(pen) * d_ba, axis=-1) / np.maximum(depth_got, 1e-9)
-    assert (cosang[col] > 0.99).mean() > 0.97
+    assert_rate(cosang[col] > 0.99, 0.97, "cc epa direction", seeds=(2, 3),
+                indices=np.nonzero(col)[0])
 
 
 # ---------------------------------------------------------------------------
@@ -167,18 +173,20 @@ def test_box_box_invariants():
     overlap = np.asarray(
         jnp.all((ua > lb) & (ub > la), axis=-1)
     )
-    assert np.array_equal(np.asarray(out.active), overlap)
+    assert_all(np.asarray(out.active) == overlap, "bb activity", seeds=(4, 5))
     act = overlap
     # moving A by pen separates (to touching)
     la2 = np.asarray(la + out.penetration)
     ua2 = np.asarray(ua + out.penetration)
     sep_after = ~np.all((ua2 > np.asarray(lb) + 1e-5) & (np.asarray(ub) > la2 + 1e-5), axis=-1)
-    assert sep_after[act].mean() > 0.999
+    assert_rate(sep_after[act], 0.999, "bb resolution", seeds=(4, 5),
+                indices=np.nonzero(act)[0])
     # contact point inside intersection region
     p = np.asarray(out.point)
     inside = np.all((p >= np.asarray(jnp.maximum(la, lb)) - 1e-5)
                     & (p <= np.asarray(jnp.minimum(ua, ub)) + 1e-5), axis=-1)
-    assert inside[act].all()
+    assert_all(inside[act], "bb contact point in intersection", seeds=(4, 5),
+               indices=np.nonzero(act)[0])
 
 
 def test_circle_box_invariants():
@@ -189,12 +197,13 @@ def test_circle_box_invariants():
     ccp = np.clip(np.asarray(c), np.asarray(lb), np.asarray(ub))
     dist = np.linalg.norm(np.asarray(c) - ccp, axis=-1)
     overlap = dist <= np.asarray(r) + 1e-6
-    assert np.array_equal(np.asarray(out.active), overlap)
+    assert_all(np.asarray(out.active) == overlap, "cb activity", seeds=(6, 7, 8))
     # resolution: after moving the circle by pen it no longer overlaps
     c2 = np.asarray(c + out.penetration)
     ccp2 = np.clip(c2, np.asarray(lb), np.asarray(ub))
     dist2 = np.linalg.norm(c2 - ccp2, axis=-1)
-    assert (dist2[overlap] >= np.asarray(r)[overlap] - 1e-4).mean() > 0.999
+    assert_rate(dist2[overlap] >= np.asarray(r)[overlap] - 1e-4, 0.999,
+                "cb resolution", seeds=(6, 7, 8), indices=np.nonzero(overlap)[0])
 
 
 def test_circle_in_box_containment():
@@ -230,7 +239,7 @@ def test_polygon_polygon_sat_vs_gjk():
     got = np.asarray(out.active)
     want = np.asarray(res.colliding)
     # GJK has false negatives on grazing contacts; demand near-agreement
-    assert (got == want).mean() > 0.99
+    assert_rate(got == want, 0.99, "pp sat vs gjk", seeds=(9, 10))
 
 
 def test_polygon_polygon_resolution_and_minimality():
@@ -248,11 +257,13 @@ def test_polygon_polygon_resolution_and_minimality():
     depths_all = np.asarray(jnp.linalg.norm(out.penetration, axis=-1))
     meaningful = act & (depths_all > 1e-5)
     sep = jax.vmap(sat_active)(va + out.penetration[:, None, :] * 1.001, vb)
-    assert (~np.asarray(sep)[meaningful]).mean() > 0.999
+    assert_rate(~np.asarray(sep)[meaningful], 0.999, "pp resolution",
+                seeds=(11, 12), indices=np.nonzero(meaningful)[0])
     # minimality: shift A by pen * (1 - eps) -> still overlapping
     still = jax.vmap(sat_active)(va + out.penetration[:, None, :] * 0.98, vb)
     deep = act & (np.asarray(jnp.linalg.norm(out.penetration, axis=-1)) > 1e-3)
-    assert np.asarray(still)[deep].mean() > 0.999
+    assert_rate(np.asarray(still)[deep], 0.999, "pp minimality",
+                seeds=(11, 12), indices=np.nonzero(deep)[0])
     # minimality against 20 alternative directions (reference heavy oracle,
     # test_collisions.py:104-121): no direction allows a shorter resolution
     depths = np.asarray(jnp.linalg.norm(out.penetration, axis=-1))
@@ -262,7 +273,8 @@ def test_polygon_polygon_resolution_and_minimality():
     for d in dirs:
         shift = d[None, None, :] * (depths[sub, None, None] * 0.95)
         still2 = jax.vmap(sat_active)(va[sub] + shift, vb[sub])
-        assert np.asarray(still2).mean() > 0.999
+        assert_rate(np.asarray(still2), 0.999, "pp 20-direction minimality",
+                    seeds=(11, 12), indices=sub)
 
 
 def test_polygon_polygon_contact_point_near_overlap():
@@ -288,7 +300,8 @@ def test_polygon_polygon_contact_point_near_overlap():
     tol = np.maximum(depths, 1e-2) + 1e-2
     ok_a = np.asarray(in_a) | (da <= tol)
     ok_b = np.asarray(in_b) | (db <= tol)
-    assert (ok_a & ok_b)[act].mean() > 0.98
+    assert_rate((ok_a & ok_b)[act], 0.98, "pp contact point near both",
+                seeds=(13, 14), indices=np.nonzero(act)[0])
 
 
 def test_circle_polygon_invariants():
@@ -310,17 +323,20 @@ def test_circle_polygon_invariants():
     sd = np.asarray(jax.vmap(dist_or_inside)(c, vp))
     want = sd <= np.asarray(r) + 1e-6
     got = np.asarray(out.active)
-    assert (got == want).mean() > 0.999
+    assert_rate(got == want, 0.999, "cp activity vs signed distance",
+                seeds=(15, 16, 17))
     # depth == r - signed distance
     depth = np.asarray(jnp.linalg.norm(out.penetration, axis=-1))
     want_depth = np.asarray(r) - sd
-    assert np.allclose(depth[got], want_depth[got], atol=1e-3)
+    assert_all(np.abs(depth[got] - want_depth[got]) < 1e-3, "cp depth",
+               seeds=(15, 16, 17), indices=np.nonzero(got)[0])
     # resolution
     out2 = jax.vmap(lambda cc, rr, v: contact_circle_polygon(cc, rr, v, em))(
         c + out.penetration * 1.001, r, vp
     )
     sd2 = np.asarray(jax.vmap(dist_or_inside)(c + out.penetration * 1.001, vp))
-    assert (sd2[got] >= np.asarray(r)[got] - 1e-3).mean() > 0.995
+    assert_rate(sd2[got] >= np.asarray(r)[got] - 1e-3, 0.995, "cp resolution",
+                seeds=(15, 16, 17), indices=np.nonzero(got)[0])
 
 
 def test_box_polygon_agrees_with_gjk():
@@ -331,13 +347,15 @@ def test_box_polygon_agrees_with_gjk():
     res = jax.vmap(
         lambda l, u, v: gjk(sup_box, (l, u), sup_poly, v)
     )(lb, ub, vp)
-    assert (np.asarray(out.active) == np.asarray(res.colliding)).mean() > 0.99
+    assert_rate(np.asarray(out.active) == np.asarray(res.colliding), 0.99,
+                "bp sat vs gjk", seeds=(18, 19))
     # resolution invariant via box shift
     act = np.asarray(out.active)
     out2 = jax.vmap(lambda l, u, v: contact_box_polygon(l, u, v, em))(
         lb + out.penetration * 1.001, ub + out.penetration * 1.001, vp
     )
-    assert (~np.asarray(out2.active)[act]).mean() > 0.995
+    assert_rate(~np.asarray(out2.active)[act], 0.995, "bp resolution",
+                seeds=(18, 19), indices=np.nonzero(act)[0])
 
 
 # ---------------------------------------------------------------------------
