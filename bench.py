@@ -6,6 +6,10 @@ Prints ONE JSON line:
 Baseline (BASELINE.md): the reference publishes no numbers; the operative
 target is 10M env-steps/s/chip on TPU v5e at batch 8192.  vs_baseline is
 value / 1e7 (>1.0 beats the target).
+
+Flags: ``--all`` benches RoboCup + the 48-ball billiards stress world too;
+``--sweep`` runs the batch-size ladder 2k..32k (scaling-curve diagnosis);
+``--batch N`` overrides the batch for the headline line.
 """
 
 import json
@@ -24,8 +28,8 @@ BATCH = 8192
 TARGET = 10_000_000.0
 
 
-def bench_env(env, name, inner=500, chain=3):
-    keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
+def bench_env(env, name, inner=500, chain=3, batch=BATCH):
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
     states = env.reset_fn_batch(keys)
     act_dim = env.action_size
 
@@ -52,10 +56,10 @@ def bench_env(env, name, inner=500, chain=3):
             states, w = run(states)
         jax.block_until_ready(w)
         dt = time.perf_counter() - t0
-        best = max(best, BATCH * inner * chain / dt)
+        best = max(best, batch * inner * chain / dt)
 
     return {
-        "metric": f"{name}_env_steps_per_sec_per_chip_batch8192",
+        "metric": f"{name}_env_steps_per_sec_per_chip_batch{batch}",
         "value": round(best, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(best / TARGET, 4),
@@ -66,16 +70,25 @@ def main():
     from parallax_tpu.envs.lunar_lander import LunarLander
     from parallax_tpu.envs.robocup import RoboCup
 
+    batch = BATCH
+    if "--batch" in sys.argv:
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
+
+    if "--sweep" in sys.argv:
+        for b in (2048, 4096, 8192, 16384, 32768):
+            print(json.dumps(bench_env(LunarLander(), "lunarlander", batch=b)))
+        return
+
     # headline line (the driver records exactly one JSON line)
-    print(json.dumps(bench_env(LunarLander(), "lunarlander")))
+    print(json.dumps(bench_env(LunarLander(), "lunarlander", batch=batch)))
 
     if "--all" in sys.argv:
         from parallax_tpu.envs.billiards import Billiards, BilliardsConfig
 
-        print(json.dumps(bench_env(RoboCup(), "robocup")))
+        print(json.dumps(bench_env(RoboCup(), "robocup", batch=batch)))
         # 48-body stress world: 1128 circle-circle + 192 circle-box lanes
         print(json.dumps(bench_env(
-            Billiards(BilliardsConfig(n_object=47)), "billiards48"
+            Billiards(BilliardsConfig(n_object=47)), "billiards48", batch=batch
         )))
 
 
