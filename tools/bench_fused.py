@@ -10,6 +10,11 @@ Times raw ``physics_core`` (no env wrapper) on the lander world at batch
 import dataclasses
 import time
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 

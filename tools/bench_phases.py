@@ -11,6 +11,11 @@ collapse at large B can be attributed to a phase.
 import sys
 import time
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 
