@@ -462,6 +462,77 @@ def _area_vb_bm(vxa, vya, lbx, lby, ubx, uby):
     return pen_x * active, pen_y * active, ptx, pty, active
 
 
+def _poly_inward_normals_bm(avx, avy, em):
+    """Unit inward edge normals of convex area polygons, batch-minor.
+
+    [G, Ve, B] area vertex planes + [G, Ve] static edge mask ->
+    (ninx, niny [G, Ve, B], valid [G, Ve, B]).  Twin of
+    contacts._poly_inward_normals (outward = (e.y, -e.x), inward negated)."""
+    ex = jnp.roll(avx, -1, axis=1) - avx
+    ey = jnp.roll(avy, -1, axis=1) - avy
+    el2 = ex * ex + ey * ey
+    inv = _rsqrt_safe(el2)
+    valid = jnp.asarray(em)[:, :, None] & (el2 > 0)
+    return -ey * inv, ex * inv, valid
+
+
+def _area_cp_bm(cx, cy, r, avx, avy, em):
+    """Batch-minor circle-in-polygon-area containment: twin of
+    contacts.contact_circle_in_polygon (most-violated-edge selection and
+    argmax tie-breaking match the vmapped kernel)."""
+    ninx, niny, valid = _poly_inward_normals_bm(avx, avy, em)
+    d_in = (cx[:, None, :] - avx) * ninx + (cy[:, None, :] - avy) * niny
+    viol = jnp.where(valid, r[:, :, None] - d_in, -INF)  # [G, Ve, B]
+    G, Ve, B = viol.shape
+    best = jnp.full((G, B), -INF)
+    bnx = bny = jnp.zeros((G, B))
+    for e in range(Ve):  # running argmax, first max wins (strict >)
+        take = viol[:, e, :] > best
+        best = jnp.where(take, viol[:, e, :], best)
+        bnx = jnp.where(take, ninx[:, e, :], bnx)
+        bny = jnp.where(take, niny[:, e, :], bny)
+    depth = jnp.maximum(best, 0.0)
+    active = best > 0
+    pen_x = bnx * depth
+    pen_y = bny * depth
+    ptx = cx - bnx * r
+    pty = cy - bny * r
+    return pen_x, pen_y, ptx, pty, active
+
+
+def _area_vp_bm(vxa, vya, avx, avy, em):
+    """Batch-minor verts-in-polygon-area containment: twin of
+    contacts.contact_verts_in_polygon.  Deepest-escaping-vertex then
+    most-violated-edge selection, both first-max-wins to match argmax."""
+    ninx, niny, valid = _poly_inward_normals_bm(avx, avy, em)
+    G, Ve, B = ninx.shape
+    Va = vxa.shape[1]
+    depth = jnp.full((G, B), -INF)
+    bnx = bny = ptx = pty = jnp.zeros((G, B))
+    for v in range(Va):
+        vx_v = vxa[:, v, :][:, None, :]
+        vy_v = vya[:, v, :][:, None, :]
+        viol = jnp.where(
+            valid, -((vx_v - avx) * ninx + (vy_v - avy) * niny), -INF
+        )  # [G, Ve, B]
+        pv = jnp.full((G, B), -INF)
+        enx = eny = jnp.zeros((G, B))
+        for e in range(Ve):  # inner argmax over edges (first max wins)
+            take = viol[:, e, :] > pv
+            pv = jnp.where(take, viol[:, e, :], pv)
+            enx = jnp.where(take, ninx[:, e, :], enx)
+            eny = jnp.where(take, niny[:, e, :], eny)
+        take = pv > depth  # outer argmax over vertices (first max wins)
+        depth = jnp.where(take, pv, depth)
+        bnx = jnp.where(take, enx, bnx)
+        bny = jnp.where(take, eny, bny)
+        ptx = jnp.where(take, vxa[:, v, :], ptx)
+        pty = jnp.where(take, vya[:, v, :], pty)
+    d = jnp.maximum(depth, 0.0)
+    active = depth > 0
+    return bnx * d, bny * d, ptx, pty, active
+
+
 def _overlap_bm(alx, ahx, aly, ahy, blx, bhx, bly, bhy):
     """Batch-minor AABB overlap [G, B] (see collider.BROADPHASE_MARGIN)."""
     from parallax_tpu.engine.collider import BROADPHASE_MARGIN as m
@@ -545,6 +616,8 @@ def collide_batched(world, s: _SoA, terrain_override=None) -> ContactsBM:
         if g.kernel in ("cc", "cb", "bb", "area_cb"):
             Va = min(Va, 2)
             Vb = min(Vb, 2)
+        elif g.kernel in ("area_cp", "area_bp"):
+            Va = min(Va, 2)  # circle center / box (lb, ub) rows only
         ema = np.stack([edge_mask_for(world.parts.nverts[i], Va) for i in ia])
         emb = np.stack([edge_mask_for(world.parts.nverts[i], Vb) for i in ib])
         axv, ayv = side(ia)
@@ -638,12 +711,20 @@ def collide_batched(world, s: _SoA, terrain_override=None) -> ContactsBM:
                 cx4, cy4,
                 bxv[:, 0, :], byv[:, 0, :], bxv[:, 1, :], byv[:, 1, :],
             )
-        elif g.kernel in ("area_cp", "area_pp", "area_bp"):
-            raise NotImplementedError(
-                f"the batch-minor fast path does not implement polygon-area "
-                f"containment ({g.kernel!r}); box areas are supported, or "
-                "use jax.vmap(world.step) for polygon areas"
+        elif g.kernel == "area_cp":
+            px, py, qx, qy, act = _area_cp_bm(
+                axv[:, 0, :], ayv[:, 0, :], ra, bxv, byv, emb
             )
+        elif g.kernel == "area_pp":
+            px, py, qx, qy, act = _area_vp_bm(axv, ayv, bxv, byv, emb)
+        elif g.kernel == "area_bp":
+            # contained box -> its 4 corners in box_corners' ordering
+            # (upper, (ux,ly), lower, (lx,uy)) so tie-breaks match vmapped
+            lx, ux = axv[:, 0, :], axv[:, 1, :]
+            ly, uy = ayv[:, 0, :], ayv[:, 1, :]
+            cx4 = jnp.stack([ux, ux, lx, lx], axis=1)
+            cy4 = jnp.stack([uy, ly, ly, uy], axis=1)
+            px, py, qx, qy, act = _area_vp_bm(cx4, cy4, bxv, byv, emb)
         else:  # pragma: no cover
             raise ValueError(g.kernel)
         pieces.append((px, py, qx, qy, act, jnp.ones_like(px)))

@@ -460,17 +460,23 @@ def _bl_step_planes(self, ps: BilliardsPlanes, actions):
     return out, ts
 
 
-def _bl_rollout_batch(self, states, policy_fn, n_steps, policy_params=None):
-    ps = self._to_planes(states)
+def _bl_rollout_batch(self, states, policy_fn, n_steps, policy_params=None,
+                      max_chunk=None):
+    from parallax_tpu.parallel.rollout import chunked_rollout
 
-    def f(ps, _):
-        obs = self._obs_planes(ps)
-        actions = policy_fn(policy_params, obs)
-        ps, ts = self._step_planes(ps, actions)
-        return ps, ts
+    def one_wave(chunk_states):
+        ps = self._to_planes(chunk_states)
 
-    ps, traj = jax.lax.scan(f, ps, None, length=n_steps)
-    return self._from_planes(ps), traj
+        def f(ps, _):
+            obs = self._obs_planes(ps)
+            actions = policy_fn(policy_params, obs)
+            ps, ts = self._step_planes(ps, actions)
+            return ps, ts
+
+        ps, traj = jax.lax.scan(f, ps, None, length=n_steps)
+        return self._from_planes(ps), traj
+
+    return chunked_rollout(one_wave, states, n_steps, states.t.shape[0], max_chunk)
 
 
 Billiards._to_planes = _bl_to_planes

@@ -852,23 +852,31 @@ def _lander_step_planes(self, ps: LanderPlanes, actions):
     return out, ts
 
 
-def _lander_rollout_batch(self, states, policy_fn, n_steps, policy_params=None):
+def _lander_rollout_batch(self, states, policy_fn, n_steps, policy_params=None,
+                          max_chunk=None):
     """Plane-space batched rollout: (final_states, TimeStep trajectory).
 
-    ``policy_fn(params, obs[B, obs_dim]) -> actions [B, 2]``.
+    ``policy_fn(params, obs[B, obs_dim]) -> actions [B, 2]``.  Batches
+    larger than ``max_chunk`` (default ``parallel.rollout.ROLLOUT_CHUNK``)
+    run as sequential waves — see :func:`chunked_rollout`.
     """
-    ps = self._to_planes(states)
+    from parallax_tpu.parallel.rollout import chunked_rollout
 
-    def f(ps, _):
-        # policy sees the previous step's leg contacts — identical to
-        # acting on the TimeStep.obs stream (and to env.observe(state))
-        obs = self._obs_planes(ps, ps.lc[0].astype(bool), ps.lc[1].astype(bool))
-        actions = policy_fn(policy_params, obs)
-        ps, ts = self._step_planes(ps, actions)
-        return ps, ts
+    def one_wave(chunk_states):
+        ps = self._to_planes(chunk_states)
 
-    ps, traj = jax.lax.scan(f, ps, None, length=n_steps)
-    return self._from_planes(ps), traj
+        def f(ps, _):
+            # policy sees the previous step's leg contacts — identical to
+            # acting on the TimeStep.obs stream (and to env.observe(state))
+            obs = self._obs_planes(ps, ps.lc[0].astype(bool), ps.lc[1].astype(bool))
+            actions = policy_fn(policy_params, obs)
+            ps, ts = self._step_planes(ps, actions)
+            return ps, ts
+
+        ps, traj = jax.lax.scan(f, ps, None, length=n_steps)
+        return self._from_planes(ps), traj
+
+    return chunked_rollout(one_wave, states, n_steps, states.t.shape[0], max_chunk)
 
 
 LunarLander._to_planes = _lander_to_planes

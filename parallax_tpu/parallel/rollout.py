@@ -21,6 +21,45 @@ import jax
 import jax.numpy as jnp
 
 
+# Sweet-spot world-batch size for a single rollout wave.  Measured on TPU
+# v5e (LunarLander): per-step time scales superlinearly past B=8192
+# (374/880/2445 us at 8k/16k/32k — XLA's fusion working sets over [*, B]
+# planes outgrow VMEM and per-world HBM traffic inflates), so larger fleets
+# run as sequential waves of this size: throughput then stays at the 8k
+# optimum instead of collapsing (18.9M -> 14.1M steps/s at 16k/32k before).
+ROLLOUT_CHUNK = 8192
+
+
+def chunked_rollout(rollout_fn: Callable, states, n_steps: int, batch: int,
+                    max_chunk: Optional[int] = None):
+    """Run a batched rollout in sequential ``max_chunk``-sized waves.
+
+    ``rollout_fn(states_chunk) -> (final_chunk, traj_chunk)`` with the traj
+    time-major ``[T, Bc, ...]``.  Worlds are independent, so splitting the
+    batch is exact: per-world results are identical to the unchunked call.
+    ``jax.lax.map`` compiles the wave body once and scans it, so compile
+    time does not grow with the wave count.  Falls back to one wave when the
+    batch is not a positive multiple of the chunk (``max_chunk=0`` disables
+    chunking explicitly).
+    """
+    chunk = ROLLOUT_CHUNK if max_chunk is None else max_chunk
+    if not chunk or batch <= chunk or batch % chunk != 0:
+        return rollout_fn(states)
+    k = batch // chunk
+    waves = jax.tree_util.tree_map(
+        lambda x: x.reshape((k, chunk) + x.shape[1:]), states
+    )
+    final, traj = jax.lax.map(rollout_fn, waves)
+    final = jax.tree_util.tree_map(
+        lambda x: x.reshape((batch,) + x.shape[2:]), final
+    )
+    traj = jax.tree_util.tree_map(
+        lambda x: jnp.moveaxis(x, 0, 1).reshape((n_steps, batch) + x.shape[3:]),
+        traj,
+    )
+    return final, traj
+
+
 def rollout(
     env,
     state,

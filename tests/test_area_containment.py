@@ -142,11 +142,45 @@ def test_area_batched_matches_vmapped():
     assert np.abs(np.asarray(a.vel) - np.asarray(b.vel)).max() < 1e-4
 
 
-def test_batched_rejects_polygon_areas_loudly():
-    body = BodyDef(shapes=[circle(0.2)], mass=1.0, inertia=0.1)
-    world, st0 = _area_world(body, HEX)
+def test_polygon_area_batched_matches_vmapped():
+    """Batch-minor twins of the polygon-area kernels (area_cp/area_pp/
+    area_bp) stay in lockstep with the vmapped path."""
+    bodies = [
+        BodyDef(shapes=[TRI], mass=1.0, inertia=0.1, position=(0.3, 0.1),
+                velocity=(2.0, 0.5)),
+        BodyDef(shapes=[box((-0.2, -0.15), (0.2, 0.15))], mass=0.8,
+                inertia=0.08, position=(-0.4, 0.2), velocity=(-1.5, 1.0)),
+        BodyDef(shapes=[circle(0.15)], mass=0.5, inertia=0.04,
+                position=(0.0, -0.3), velocity=(1.0, -2.0)),
+        BodyDef(shapes=[HEX], mass=np.inf, inertia=np.inf, is_area=True),
+    ]
+    world, st0 = World.build(bodies, WorldConfig(dt=0.01, gravity=(0.0, 0.0)))
+    assert {"area_cp", "area_pp", "area_bp"} <= {
+        g.kernel for g in world.table.groups
+    }
+    B = 16
     batched = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x, (4,) + x.shape).copy(), st0
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(), st0
     )
-    with pytest.raises(NotImplementedError, match="polygon-area"):
-        collide_batched(world, _to_soa(batched))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    mv = jnp.isfinite(world.params.mass)
+    batched = batched.replace(
+        pos=batched.pos + jax.random.normal(k1, (B, world.n_bodies, 2)) * 1.3 * mv[:, None],
+        vel=batched.vel + jax.random.normal(k2, (B, world.n_bodies, 2)) * 2.0 * mv[:, None],
+    )
+    cv = jax.jit(jax.vmap(world.detect_contacts))(batched)
+    cb = jax.jit(lambda st: collide_batched(world, _to_soa(st)))(batched)
+    act_v = np.asarray(cv.active)
+    act_b = np.asarray(cb.active).T
+    assert act_v.any()  # the jittered fleet actually escapes the hexagon
+    assert (act_v == act_b).all()
+    both = act_v & act_b
+    pen_b = np.stack([np.asarray(cb.pen_x).T, np.asarray(cb.pen_y).T], -1)
+    pt_b = np.stack([np.asarray(cb.pt_x).T, np.asarray(cb.pt_y).T], -1)
+    assert np.abs(np.asarray(cv.penetration) - pen_b)[both].max() < 1e-5
+    assert np.abs(np.asarray(cv.point) - pt_b)[both].max() < 1e-5
+
+    a = jax.jit(jax.vmap(lambda s: world.step(s)[0]))(batched)
+    b = jax.jit(lambda st: step_batched(world, st)[0])(batched)
+    assert np.abs(np.asarray(a.pos) - np.asarray(b.pos)).max() < 1e-5
+    assert np.abs(np.asarray(a.vel) - np.asarray(b.vel)).max() < 1e-4

@@ -165,3 +165,60 @@ def test_grad_through_rollout_batch():
     g = jax.grad(mean_return)(jnp.asarray(0.4))
     assert np.isfinite(np.asarray(g))
     assert abs(float(g)) > 1e-6
+
+
+def test_chunked_rollout_matches_unchunked():
+    """Large batches run as sequential lax.map waves (parallel.rollout.
+    chunked_rollout); worlds are independent so per-world results must be
+    bitwise identical to the single-wave rollout, in the same order."""
+    env = LunarLander()
+    B = 8
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(3), B))
+
+    def policy(_, obs):
+        a = jnp.stack([obs[:, 1] * 0.1 + 0.4, obs[:, 0] * 0.05], axis=-1)
+        return a
+
+    fin_a, traj_a = jax.jit(
+        lambda s: env.rollout_batch(s, policy, 25, max_chunk=0)
+    )(states)
+    fin_b, traj_b = jax.jit(
+        lambda s: env.rollout_batch(s, policy, 25, max_chunk=4)
+    )(states)
+    for xa, xb in zip(jax.tree_util.tree_leaves(fin_a),
+                      jax.tree_util.tree_leaves(fin_b)):
+        assert xa.shape == xb.shape
+        assert (np.asarray(xa) == np.asarray(xb)).all()
+    # reward/termination are bitwise; obs alone may differ ~1 ULP (XLA
+    # duplicates state math into the obs path and fuses it differently
+    # per program shape, e.g. fma vs mul+add on the damped omega)
+    assert (np.asarray(traj_a.reward) == np.asarray(traj_b.reward)).all()
+    assert (np.asarray(traj_a.terminated) == np.asarray(traj_b.terminated)).all()
+    assert (np.asarray(traj_a.truncated) == np.asarray(traj_b.truncated)).all()
+    np.testing.assert_allclose(
+        np.asarray(traj_a.obs), np.asarray(traj_b.obs), atol=1e-8
+    )
+
+    # non-divisible batches fall back to a single wave
+    fin_c, _ = jax.jit(
+        lambda s: env.rollout_batch(s, policy, 25, max_chunk=3)
+    )(states)
+    for xa, xc in zip(jax.tree_util.tree_leaves(fin_a),
+                      jax.tree_util.tree_leaves(fin_c)):
+        assert (np.asarray(xa) == np.asarray(xc)).all()
+
+
+def test_grad_through_chunked_rollout():
+    env = LunarLander()
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(0), 8))
+
+    def mean_return(theta):
+        def policy(_, obs):
+            return jnp.tile(jnp.stack([theta, jnp.zeros(())]), (obs.shape[0], 1))
+
+        _, traj = env.rollout_batch(states, policy, 15, max_chunk=4)
+        return traj.reward.mean()
+
+    g = jax.grad(mean_return)(jnp.asarray(0.4))
+    assert np.isfinite(np.asarray(g))
+    assert abs(float(g)) > 1e-6
