@@ -86,6 +86,13 @@ class LanderConfig:
     narrowphase: str = "sat"
     broadphase: bool = True
     contact: object = None  # Optional[ContactSolverConfig]; None = default
+    # run the whole physics step as one Pallas kernel (ops/pallas_step.py).
+    # Requires broadphase=False (the fused kernel has no AABB pre-mask
+    # stage); measured FASTER than collide-in-XLA + solve-in-Pallas on raw
+    # physics_core (19.1M vs 16.8M world-steps/s at B=8192, v5e) — see
+    # tools/bench_fused.py.  Default off: broadphase=True is the safer
+    # default for arbitrary worlds.
+    use_pallas_fused: bool = False
     # lander contact graphs are shallow (legs + lander vs ground); (3, 2)
     # is empirically indistinguishable from (4, 3) on landing/drop
     # trajectories and ~15% faster end-to-end
@@ -240,10 +247,7 @@ class LunarLander(BatchedEnvironmentMixin, Environment):
             position_iterations=config.position_iterations,
             joint_mode="gauss_seidel",
             use_pallas_solver=True,
-            # the fully-fused step kernel (ops.pallas_step) also works here
-            # but measures slower than collide-in-XLA + solver-in-Pallas
-            # (11.1M vs 12.3M steps/s); keep it opt-in
-            use_pallas_fused=False,
+            use_pallas_fused=config.use_pallas_fused,
         )
         self.world, self._init_bodies = World.build(
             [lander, right_leg, left_leg, ground], wc, joints=joints

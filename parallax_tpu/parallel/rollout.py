@@ -81,7 +81,13 @@ def rollout(
         state, ts = env.step(state, action)
         return state, ts
 
-    if checkpoint_segments and n_steps % checkpoint_segments == 0:
+    if checkpoint_segments and n_steps % checkpoint_segments != 0:
+        raise ValueError(
+            f"checkpoint_segments={checkpoint_segments} must divide "
+            f"n_steps={n_steps} (a silent fallback to the unsegmented scan "
+            "would change reverse-mode memory by the segment count)"
+        )
+    if checkpoint_segments:
         seg = n_steps // checkpoint_segments
 
         @jax.checkpoint
@@ -111,7 +117,14 @@ def batched_rollout(env, states, policy_fn, policy_params, n_steps, checkpoint_s
     (observed 21.7G padded vs 5.3G unpadded on a horizon-100 lander
     backward pass)."""
     fast = getattr(env, "rollout_batch", None)
-    if fast is not None and checkpoint_segments and n_steps % checkpoint_segments == 0:
+    if checkpoint_segments and n_steps % checkpoint_segments != 0:
+        # a silent fallback here once cost a 4.3x padded-residual OOM on a
+        # horizon-100 lander backward pass — reject loudly instead
+        raise ValueError(
+            f"checkpoint_segments={checkpoint_segments} must divide "
+            f"n_steps={n_steps}"
+        )
+    if fast is not None and checkpoint_segments:
         seg = n_steps // checkpoint_segments
 
         @jax.checkpoint

@@ -238,3 +238,20 @@ def test_checkpointed_rollout_stays_on_fast_path():
     g0 = float(jax.jit(jax.grad(lambda t: ret(t, 0)))(jnp.asarray(0.4)))
     g3 = float(jax.jit(jax.grad(lambda t: ret(t, 3)))(jnp.asarray(0.4)))
     assert abs(g0 - g3) < 1e-6 and np.isfinite(g3)
+
+
+def test_non_divisible_checkpoint_segments_raise():
+    """A silent fallback off the segmented/fast path once cost a 4.3x
+    padded-residual OOM (horizon-100 lander backward pass); non-divisible
+    checkpoint_segments must be rejected loudly on both rollout entries."""
+    env = LunarLander()
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(0), 4))
+
+    def policy(_, obs):
+        return jnp.zeros((obs.shape[0], env.action_size))
+
+    with pytest.raises(ValueError, match="must divide"):
+        batched_rollout(env, states, policy, None, 10, checkpoint_segments=3)
+    with pytest.raises(ValueError, match="must divide"):
+        rollout(env, jax.tree_util.tree_map(lambda x: x[0], states), policy,
+                None, 10, checkpoint_segments=3)
