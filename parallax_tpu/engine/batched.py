@@ -974,7 +974,15 @@ def apply_joints_bm(world, s: _SoA) -> _SoA:
     if J == 0:
         return s
     params = world.params
-    vx, vy, om = s.vx, s.vy, s.omega
+    n = world.n_bodies
+    # Gauss-Seidel over joints with per-body ROW variables, stacked once at
+    # the end: ``.at[a].add`` per joint lowers to dynamic-update-slice
+    # chains whose [1, B] updates tile T(1,128) (1/8 sublane utilization,
+    # measured ~40 us/step at B=8192); row rebuilds keep the same
+    # sequential arithmetic (bitwise-identical) in well-shaped [B] vectors.
+    vx_r = [s.vx[b] for b in range(n)]
+    vy_r = [s.vy[b] for b in range(n)]
+    om_r = [s.omega[b] for b in range(n)]
     for j in range(J):
         a = joints.body_a[j]
         b = joints.body_b[j]
@@ -988,10 +996,10 @@ def apply_joints_bm(world, s: _SoA) -> _SoA:
         pby = s.py[b] + sb * bx_l + cb * by_l
         rax, ray = pax - s.px[a], pay - s.py[a]
         rbx, rby = pbx - s.px[b], pby - s.py[b]
-        vax = vx[a] - ray * om[a]
-        vay = vy[a] + rax * om[a]
-        vbx = vx[b] - rby * om[b]
-        vby = vy[b] + rbx * om[b]
+        vax = vx_r[a] - ray * om_r[a]
+        vay = vy_r[a] + rax * om_r[a]
+        vbx = vx_r[b] - rby * om_r[b]
+        vby = vy_r[b] + rbx * om_r[b]
         dpx, dpy = pax - pbx, pay - pby
         dvx_, dvy_ = vax - vbx, vay - vby
         dvn = jnp.sqrt(jnp.maximum(dvx_ * dvx_ + dvy_ * dvy_, 1e-30))
@@ -1000,12 +1008,15 @@ def apply_joints_bm(world, s: _SoA) -> _SoA:
         Jy = dpy * kp + dvy_ * (dvn + v0) * kd
         im_a, ii_a = params.inv_mass[a], params.inv_inertia[a]
         im_b, ii_b = params.inv_mass[b], params.inv_inertia[b]
-        vx = vx.at[a].add(-Jx * im_a).at[b].add(Jx * im_b)
-        vy = vy.at[a].add(-Jy * im_a).at[b].add(Jy * im_b)
-        om = om.at[a].add(-(rax * Jy - ray * Jx) * ii_a).at[b].add(
-            (rbx * Jy - rby * Jx) * ii_b
-        )
-    return s._replace(vx=vx, vy=vy, omega=om)
+        vx_r[a] = vx_r[a] - Jx * im_a
+        vx_r[b] = vx_r[b] + Jx * im_b
+        vy_r[a] = vy_r[a] - Jy * im_a
+        vy_r[b] = vy_r[b] + Jy * im_b
+        om_r[a] = om_r[a] - (rax * Jy - ray * Jx) * ii_a
+        om_r[b] = om_r[b] + (rbx * Jy - rby * Jx) * ii_b
+    return s._replace(
+        vx=jnp.stack(vx_r), vy=jnp.stack(vy_r), omega=jnp.stack(om_r)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1087,16 +1098,21 @@ def physics_core(
 
     with jax.named_scope("collide"):
         con = collide_batched(world, s, terrain_override)
+    joints_done = False
     with jax.named_scope("solve_contacts"):
-        if _pallas_ok(world, s):
+        if _pallas_ok(world, s) and world.table.n_contacts > 0:
             from parallax_tpu.ops.pallas_solver import solve_contacts_pallas
 
+            # joints ride inside the kernel: one fewer HBM round-trip of
+            # the body planes and no [1, B] joint fusions in XLA
             s = solve_contacts_pallas(
                 world, s, con,
                 iterations=cfg.solver_iterations,
                 position_iterations=cfg.position_iterations,
                 dt=dt, config=cfg.contact,
+                with_joints=True,
             )
+            joints_done = True
         else:
             s = solve_contacts_bm(
                 world,
@@ -1107,8 +1123,9 @@ def physics_core(
                 dt=dt,
                 config=cfg.contact,
             )
-    with jax.named_scope("joints"):
-        s = apply_joints_bm(world, s)
+    if not joints_done:
+        with jax.named_scope("joints"):
+            s = apply_joints_bm(world, s)
     return s, con
 
 

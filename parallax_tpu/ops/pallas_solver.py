@@ -43,6 +43,67 @@ _R_IM_A, _R_IM_B, _R_II_A, _R_II_B, _R_E, _R_MU, _R_IS_LEAD, _R_HAS_P = range(8)
 _NUM_CONST_ROWS = 8
 
 
+def _joint_rows(world):
+    """Static host-side joint table -> list of plain-python dicts (the
+    kernel unrolls them; shared with ops.pallas_step)."""
+    joints = world.joints
+    anc_a = np.asarray(joints.anchor_a)
+    anc_b = np.asarray(joints.anchor_b)
+    kp_np = np.asarray(joints.kp)
+    kd_np = np.asarray(joints.kd)
+    v0_np = np.asarray(joints.v0)
+    rows = []
+    for j in range(joints.n_joints):
+        rows.append(
+            dict(
+                a=joints.body_a[j], b=joints.body_b[j],
+                ax=float(anc_a[j, 0]), ay=float(anc_a[j, 1]),
+                bx=float(anc_b[j, 0]), by=float(anc_b[j, 1]),
+                kp=float(kp_np[j]), kd=float(kd_np[j]), v0=float(v0_np[j]),
+            )
+        )
+    return rows
+
+
+def apply_joint_rows(jrows, im, ii, px, py, vx, vy, ang, om):
+    """Sequential spring-damper joints on [n, TB] planes via per-body row
+    variables (no scatter; Pallas-safe and the fast XLA shape).  Twin of
+    ``engine.batched.apply_joints_bm``; same reference impulse law
+    (/root/reference/cotix/_lunar_lander.py:188-189)."""
+    n = px.shape[0]
+    vx_r = [vx[b] for b in range(n)]
+    vy_r = [vy[b] for b in range(n)]
+    om_r = [om[b] for b in range(n)]
+    for j in jrows:
+        a, b = j["a"], j["b"]
+        ca, sa_ = jnp.cos(ang[a]), jnp.sin(ang[a])
+        cb, sb_ = jnp.cos(ang[b]), jnp.sin(ang[b])
+        pax = px[a] + ca * j["ax"] - sa_ * j["ay"]
+        pay = py[a] + sa_ * j["ax"] + ca * j["ay"]
+        pbx = px[b] + cb * j["bx"] - sb_ * j["by"]
+        pby = py[b] + sb_ * j["bx"] + cb * j["by"]
+        rax, ray = pax - px[a], pay - py[a]
+        rbx, rby = pbx - px[b], pby - py[b]
+        vax = vx_r[a] - ray * om_r[a]
+        vay = vy_r[a] + rax * om_r[a]
+        vbx = vx_r[b] - rby * om_r[b]
+        vby = vy_r[b] + rbx * om_r[b]
+        dpx, dpy = pax - pbx, pay - pby
+        dvx_, dvy_ = vax - vbx, vay - vby
+        dvn = jnp.sqrt(jnp.maximum(dvx_ * dvx_ + dvy_ * dvy_, 1e-30))
+        Jx = dpx * j["kp"] + dvx_ * (dvn + j["v0"]) * j["kd"]
+        Jy = dpy * j["kp"] + dvy_ * (dvn + j["v0"]) * j["kd"]
+        im_a, im_b = float(im[a]), float(im[b])
+        ii_a, ii_b = float(ii[a]), float(ii[b])
+        vx_r[a] = vx_r[a] - Jx * im_a
+        vx_r[b] = vx_r[b] + Jx * im_b
+        vy_r[a] = vy_r[a] - Jy * im_a
+        vy_r[b] = vy_r[b] + Jy * im_b
+        om_r[a] = om_r[a] - (rax * Jy - ray * Jx) * ii_a
+        om_r[b] = om_r[b] + (rbx * Jy - rby * Jx) * ii_b
+    return jnp.stack(vx_r), jnp.stack(vy_r), jnp.stack(om_r)
+
+
 def _build_operands(world):
     """Static (host-side) constants -> kernel input arrays."""
     table = world.table
@@ -101,33 +162,42 @@ def solve_contacts_pallas(
     dt: float,
     config: ContactSolverConfig,
     interpret: bool = False,
+    with_joints: bool = False,
 ):
     """Drop-in twin of ``solve_contacts_bm`` running as one Pallas kernel.
 
+    ``with_joints=True`` additionally applies the world's spring-damper
+    joints inside the kernel (twin of ``apply_joints_bm``) — the body
+    planes then make one fewer HBM round-trip and the joints' sequential
+    row updates run in VMEM instead of as [1, B] XLA fusions.
+
     Differentiable: the backward pass routes through the JAX implementation
-    (``solve_contacts_bm``) via custom_vjp — Pallas speed on the forward,
-    exact autodiff semantics on the reverse (both paths compute identical
-    values, so the VJP is consistent)."""
+    (``solve_contacts_bm`` [+ ``apply_joints_bm``]) via custom_vjp — Pallas
+    speed on the forward, exact autodiff semantics on the reverse (both
+    paths compute identical values, so the VJP is consistent)."""
 
     @jax.custom_vjp
     def _solve(s, con):
         return _solve_fwd_only(world, s, con, iterations, position_iterations,
-                               dt, config, interpret)
+                               dt, config, interpret, with_joints)
 
     def _fwd(s, con):
         return _solve(s, con), (s, con)
 
     def _bwd(res, g):
-        from parallax_tpu.engine.batched import solve_contacts_bm
+        from parallax_tpu.engine.batched import apply_joints_bm, solve_contacts_bm
 
         s0, con0 = res
-        _, vjp = jax.vjp(
-            lambda ss, cc: solve_contacts_bm(
+
+        def jax_path(ss, cc):
+            out = solve_contacts_bm(
                 world, ss, cc, iterations, position_iterations, dt, config
-            ),
-            s0,
-            con0,
-        )
+            )
+            if with_joints:
+                out = apply_joints_bm(world, out)
+            return out
+
+        _, vjp = jax.vjp(jax_path, s0, con0)
         return vjp(g)
 
     _solve.defvjp(_fwd, _bwd)
@@ -135,7 +205,8 @@ def solve_contacts_pallas(
 
 
 def _solve_fwd_only(
-    world, s, con, iterations, position_iterations, dt, config, interpret
+    world, s, con, iterations, position_iterations, dt, config, interpret,
+    with_joints=False,
 ):
     ops = _build_operands(world)
     C, n = ops["C"], ops["n"]
@@ -144,12 +215,19 @@ def _solve_fwd_only(
     B = s.vx.shape[-1]
     assert B % TILE_B == 0, f"batch {B} must be a multiple of {TILE_B}"
 
+    jrows = _joint_rows(world) if with_joints else []
+    params = world.params
+    im_np = (1.0 / np.asarray(params.mass)).astype(np.float32)
+    ii_np = (1.0 / np.asarray(params.inertia)).astype(np.float32)
     kernel = functools.partial(
         _solver_kernel,
         iterations=iterations,
         position_iterations=position_iterations,
         dt=float(dt),
         config=config,
+        jrows=tuple(jrows),
+        im_np=tuple(im_np.tolist()),
+        ii_np=tuple(ii_np.tolist()),
     )
 
     grid = (B // TILE_B,)
@@ -190,6 +268,7 @@ def _solver_kernel(
     px_ref, py_ref, vx_ref, vy_ref, ang_ref, om_ref,
     opx_ref, opy_ref, ovx_ref, ovy_ref, oang_ref, oom_ref,
     *, iterations, position_iterations, dt, config,
+    jrows=(), im_np=(), ii_np=(),
 ):
     opx, opy, ovx, ovy, oang, oom = solve_arrays(
         const_ref[:], oh_a_ref[:], oh_b_ref[:], oh_p_ref[:],
@@ -199,6 +278,10 @@ def _solver_kernel(
         iterations=iterations, position_iterations=position_iterations,
         dt=dt, config=config,
     )
+    if jrows:
+        ovx, ovy, oom = apply_joint_rows(
+            jrows, im_np, ii_np, opx, opy, ovx, ovy, oang, oom
+        )
     opx_ref[:] = opx
     opy_ref[:] = opy
     ovx_ref[:] = ovx

@@ -377,43 +377,14 @@ def _step_kernel(
         dt=dt, config=config,
     )
 
-    # spring-damper joints (reference sequential order, static unroll);
-    # row lists instead of .at[].add (no scatter support in Pallas TPU)
-    vx_r = [vx[b] for b in range(n)]
-    vy_r = [vy[b] for b in range(n)]
-    om_r = [om[b] for b in range(n)]
-    for j in st["joints"]:
-        a, b = j["a"], j["b"]
-        ca, sa_ = jnp.cos(ang[a]), jnp.sin(ang[a])
-        cb, sb_ = jnp.cos(ang[b]), jnp.sin(ang[b])
-        pax = px[a] + ca * j["ax"] - sa_ * j["ay"]
-        pay = py[a] + sa_ * j["ax"] + ca * j["ay"]
-        pbx = px[b] + cb * j["bx"] - sb_ * j["by"]
-        pby = py[b] + sb_ * j["bx"] + cb * j["by"]
-        rax, ray = pax - px[a], pay - py[a]
-        rbx, rby = pbx - px[b], pby - py[b]
-        vax = vx_r[a] - ray * om_r[a]
-        vay = vy_r[a] + rax * om_r[a]
-        vbx = vx_r[b] - rby * om_r[b]
-        vby = vy_r[b] + rbx * om_r[b]
-        dpx, dpy = pax - pbx, pay - pby
-        dvx_, dvy_ = vax - vbx, vay - vby
-        dvn = jnp.sqrt(jnp.maximum(dvx_ * dvx_ + dvy_ * dvy_, 1e-30))
-        Jx = dpx * j["kp"] + dvx_ * (dvn + j["v0"]) * j["kd"]
-        Jy = dpy * j["kp"] + dvy_ * (dvn + j["v0"]) * j["kd"]
-        im_a = float(st["im"][a])
-        im_b = float(st["im"][b])
-        ii_a = float(st["ii"][a])
-        ii_b = float(st["ii"][b])
-        vx_r[a] = vx_r[a] - Jx * im_a
-        vx_r[b] = vx_r[b] + Jx * im_b
-        vy_r[a] = vy_r[a] - Jy * im_a
-        vy_r[b] = vy_r[b] + Jy * im_b
-        om_r[a] = om_r[a] - (rax * Jy - ray * Jx) * ii_a
-        om_r[b] = om_r[b] + (rbx * Jy - rby * Jx) * ii_b
-    vx = jnp.stack(vx_r)
-    vy = jnp.stack(vy_r)
-    om = jnp.stack(om_r)
+    # spring-damper joints: shared row-rebuild helper (no scatter support
+    # in Pallas TPU) — same code as solve_contacts_pallas(with_joints=True)
+    from parallax_tpu.ops.pallas_solver import apply_joint_rows
+
+    if st["joints"]:
+        vx, vy, om = apply_joint_rows(
+            st["joints"], st["im"], st["ii"], px, py, vx, vy, ang, om
+        )
 
     opx_ref[:] = px
     opy_ref[:] = py

@@ -116,3 +116,42 @@ def test_fused_step_kernel_matches_physics_core(contact_state):
     np.testing.assert_array_equal(
         np.asarray(ref_c.active), np.asarray(got_c.active)
     )
+
+
+def test_pallas_solver_with_joints_matches_jax_path(contact_state):
+    """with_joints=True == solve_contacts_bm + apply_joints_bm."""
+    from parallax_tpu.engine.batched import apply_joints_bm
+
+    world, s, con = contact_state
+    assert world.joints.n_joints > 0
+    ref = jax.jit(
+        lambda s, c: apply_joints_bm(
+            world,
+            solve_contacts_bm(world, s, c, 3, 2, 0.01, world.config.contact),
+        )
+    )(s, con)
+    got = jax.jit(
+        lambda s, c: solve_contacts_pallas(
+            world, s, c, 3, 2, 0.01, world.config.contact,
+            interpret=True, with_joints=True,
+        )
+    )(s, con)
+    for f in ("px", "py", "vx", "vy", "angle", "omega"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, f)), np.asarray(getattr(got, f)), atol=1e-5
+        )
+
+
+def test_pallas_solver_with_joints_grad(contact_state):
+    world, s, con = contact_state
+
+    def loss(vy0):
+        s2 = s._replace(vy=s.vy + vy0)
+        out = solve_contacts_pallas(
+            world, s2, con, 3, 2, 0.01, world.config.contact,
+            interpret=True, with_joints=True,
+        )
+        return (out.vy**2).mean()
+
+    g = jax.grad(loss)(jnp.zeros(()))
+    assert np.isfinite(np.asarray(g))
