@@ -584,10 +584,13 @@ def collide_batched(world, s: _SoA, terrain_override=None) -> ContactsBM:
     if world.config.narrowphase != "sat":
         check_batched_support(world.config, "collide_batched")
     B = s.px.shape[-1]
-    V = world.parts.max_verts
     pieces = []
 
-    def side(idx):
+    def side(idx, vn):
+        """World-frame [G, vn, B] x/y vertex planes for the side's parts,
+        sliced to the group's real vertex count BEFORE stacking (stacking
+        the full repeat-padded V rows materialized up-to-2x dead rows in
+        the hot [G, V, B] concats — measured 30 us/step at B=8192)."""
         if terrain_override and any(i in terrain_override for i in idx):
             # build override planes for the whole side
             lx = []
@@ -595,15 +598,16 @@ def collide_batched(world, s: _SoA, terrain_override=None) -> ContactsBM:
             for i in idx:
                 if i in terrain_override:
                     ox, oy = terrain_override[i]
-                    lx.append(ox)
-                    ly.append(oy)
+                    lx.append(ox[:vn])
+                    ly.append(oy[:vn])
                 else:
                     lv = world.parts.verts[i]
-                    lx.append(jnp.broadcast_to(lv[:, 0:1], (V, B)))
-                    ly.append(jnp.broadcast_to(lv[:, 1:2], (V, B)))
+                    lx.append(jnp.broadcast_to(lv[:vn, 0:1], (vn, B)))
+                    ly.append(jnp.broadcast_to(lv[:vn, 1:2], (vn, B)))
             # overrides are world-frame already (static bodies): add nothing
             return jnp.stack(lx), jnp.stack(ly)
-        return _side_verts(world, s, np.asarray(idx))
+        wx, wy = _side_verts(world, s, np.asarray(idx))
+        return wx[:, :vn, :], wy[:, :vn, :]
 
     for g in world.table.groups:
         ia = list(g.part_a)
@@ -620,10 +624,8 @@ def collide_batched(world, s: _SoA, terrain_override=None) -> ContactsBM:
             Va = min(Va, 2)  # circle center / box (lb, ub) rows only
         ema = np.stack([edge_mask_for(world.parts.nverts[i], Va) for i in ia])
         emb = np.stack([edge_mask_for(world.parts.nverts[i], Vb) for i in ib])
-        axv, ayv = side(ia)
-        bxv, byv = side(ib)
-        axv, ayv = axv[:, :Va, :], ayv[:, :Va, :]
-        bxv, byv = bxv[:, :Vb, :], byv[:, :Vb, :]
+        axv, ayv = side(ia, Va)
+        bxv, byv = side(ib, Vb)
         ra = world.parts.radius[np.asarray(ia)][:, None]  # [G, 1]
         rb = world.parts.radius[np.asarray(ib)][:, None]
 
