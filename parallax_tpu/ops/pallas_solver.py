@@ -306,8 +306,29 @@ def solve_arrays(
     def gb(x):
         return jnp.dot(oh_b, x, preferred_element_type=f32)
 
+    def ga3(x, y, z):
+        """Three A-side gathers as ONE [C, n] @ [n, 3*TB] matmul: each
+        output column's K-dim accumulation is unchanged (bitwise-identical
+        per element), but the MXU sees a third of the launches."""
+        tb = x.shape[-1]
+        m = jnp.dot(oh_a, jnp.concatenate([x, y, z], axis=1),
+                    preferred_element_type=f32)
+        return m[:, :tb], m[:, tb:2 * tb], m[:, 2 * tb:]
+
+    def gb3(x, y, z):
+        tb = x.shape[-1]
+        m = jnp.dot(oh_b, jnp.concatenate([x, y, z], axis=1),
+                    preferred_element_type=f32)
+        return m[:, :tb], m[:, tb:2 * tb], m[:, 2 * tb:]
+
     def pswap(x):  # partner lane: [C, TB]
         return jnp.dot(oh_p, x, preferred_element_type=f32)
+
+    def pswap2(x, y):
+        tb = x.shape[-1]
+        m = jnp.dot(oh_p, jnp.concatenate([x, y], axis=1),
+                    preferred_element_type=f32)
+        return m[:, :tb], m[:, tb:]
 
     im_a = lane[_R_IM_A][:, None]
     im_b = lane[_R_IM_B][:, None]
@@ -360,12 +381,12 @@ def solve_arrays(
     blockable = has_p & active & (pswap(active_f) > 0)
 
     def rel_vel(vx, vy, om):
-        om_a = ga(om)
-        om_b = gb(om)
-        vax = ga(vx) - ray * om_a
-        vay = ga(vy) + rax * om_a
-        vbx = gb(vx) - rby * om_b
-        vby = gb(vy) + rbx * om_b
+        gax, gay, om_a = ga3(vx, vy, om)
+        gbx, gby, om_b = gb3(vx, vy, om)
+        vax = gax - ray * om_a
+        vay = gay + rax * om_a
+        vbx = gbx - rby * om_b
+        vby = gby + rbx * om_b
         rx = vbx - vax
         ry = vby - vay
         return rx * nx + ry * ny, rx * tx + ry * ty
@@ -392,27 +413,40 @@ def solve_arrays(
         dvbx = -jx * im_b
         dvby = -jy * im_b
         dwb = -(rbx * jy - rby * jx) * ii_b
-        vx = vx + jnp.dot(acc_a, dvax, preferred_element_type=f32) + jnp.dot(
-            acc_b, dvbx, preferred_element_type=f32
+        tb = vx.shape[-1]
+        # one [n, C] @ [C, 3*TB] matmul per side (3x fewer MXU launches)
+        acc = jnp.dot(
+            acc_a, jnp.concatenate([dvax, dvay, dwa], axis=1),
+            preferred_element_type=f32,
+        ) + jnp.dot(
+            acc_b, jnp.concatenate([dvbx, dvby, dwb], axis=1),
+            preferred_element_type=f32,
         )
-        vy = vy + jnp.dot(acc_a, dvay, preferred_element_type=f32) + jnp.dot(
-            acc_b, dvby, preferred_element_type=f32
+        return (
+            vx + acc[:, :tb],
+            vy + acc[:, tb:2 * tb],
+            om + acc[:, 2 * tb:],
         )
-        om = om + jnp.dot(acc_a, dwa, preferred_element_type=f32) + jnp.dot(
-            acc_b, dwb, preferred_element_type=f32
-        )
-        return vx, vy, om
 
     jn = jnp.zeros_like(pen_x)
     jt = jnp.zeros_like(pen_x)
-    for _ in range(iterations):
-        v_n, _ = rel_vel(vx, vy, om)
+    for it in range(iterations):
+        # iteration 0's velocities are the untouched inputs — the normal
+        # relative velocity is exactly the restitution snapshot v_n0
+        v_n = v_n0 if it == 0 else rel_vel(vx, vy, om)[0]
         rhs = v_n + target
-        jn_single = jnp.maximum(jn + rhs * inv_kn, 0.0)
-        rhs_p = pswap(rhs)
-        jn_p = pswap(jn)
-        b0 = k_n * jn + k_np * jn_p + rhs
-        b1 = k_np * jn + k_p * jn_p + rhs_p
+        if it == 0:
+            # jn == 0 exactly: drop the pswap(jn) and the k*0 terms
+            # (0 + x == x and k*0 == 0 in f32 for finite k — bitwise-same)
+            jn_single = jnp.maximum(rhs * inv_kn, 0.0)
+            rhs_p = pswap(rhs)
+            b0 = rhs
+            b1 = rhs_p
+        else:
+            jn_single = jnp.maximum(jn + rhs * inv_kn, 0.0)
+            rhs_p, jn_p = pswap2(rhs, jn)
+            b0 = k_n * jn + k_np * jn_p + rhs
+            b1 = k_np * jn + k_p * jn_p + rhs_p
         x0_full = (k_p * b0 - k_np * b1) / safe_det
         x1_full = (k_n * b1 - k_np * b0) / safe_det
         ok_full = (x0_full >= 0) & (x1_full >= 0) & ok_det
@@ -429,12 +463,18 @@ def solve_arrays(
         jn = jn_new
 
         _, v_t = rel_vel(vx, vy, om)
-        jt_single = jt + v_t * inv_kt
-        jt_split = jt + v_t * inv_kt_coupled
-        v_t_p = pswap(v_t)
-        jt_p = pswap(jt)
-        bt0 = k_t * jt + k_tp * jt_p + v_t
-        bt1 = k_tp * jt + k_tpd * jt_p + v_t_p
+        if it == 0:  # jt == 0 exactly (same algebra as the normal pass)
+            jt_single = v_t * inv_kt
+            jt_split = v_t * inv_kt_coupled
+            v_t_p = pswap(v_t)
+            bt0 = v_t
+            bt1 = v_t_p
+        else:
+            jt_single = jt + v_t * inv_kt
+            jt_split = jt + v_t * inv_kt_coupled
+            v_t_p, jt_p = pswap2(v_t, jt)
+            bt0 = k_t * jt + k_tp * jt_p + v_t
+            bt1 = k_tp * jt + k_tpd * jt_p + v_t_p
         xt0 = (k_tpd * bt0 - k_tp * bt1) / safe_det_t
         xt1 = (k_t * bt1 - k_tp * bt0) / safe_det_t
         jt_block = jnp.where(is_lead, xt0, pswap(xt1))
@@ -454,11 +494,18 @@ def solve_arrays(
         pvy = jnp.zeros_like(vy)
         pom = jnp.zeros_like(om)
         pj = jnp.zeros_like(jn)
-        for _ in range(position_iterations):
-            v_n, _ = rel_vel(pvx, pvy, pom)
-            rhs = v_n + bias
-            pj_new = jnp.where(active, jnp.maximum(pj + rhs * inv_kn, 0.0), 0.0)
-            pvx, pvy, pom = scatter(pj_new - pj, jnp.zeros_like(pj), pvx, pvy, pom)
+        for it in range(position_iterations):
+            if it == 0:
+                # pseudo-velocities start at zero: rel_vel == 0 exactly,
+                # so the first gather round is pure algebra
+                rhs = bias
+                pj_new = jnp.where(active, jnp.maximum(rhs * inv_kn, 0.0), 0.0)
+                pvx, pvy, pom = scatter(pj_new, jnp.zeros_like(pj), pvx, pvy, pom)
+            else:
+                v_n, _ = rel_vel(pvx, pvy, pom)
+                rhs = v_n + bias
+                pj_new = jnp.where(active, jnp.maximum(pj + rhs * inv_kn, 0.0), 0.0)
+                pvx, pvy, pom = scatter(pj_new - pj, jnp.zeros_like(pj), pvx, pvy, pom)
             pj = pj_new
         opx = opx + pvx * dt
         opy = opy + pvy * dt
