@@ -1134,9 +1134,11 @@ def physics_core(
 def _pallas_ok(world, s) -> bool:
     if not world.config.use_pallas_solver:
         return False
-    from parallax_tpu.ops.pallas_solver import TILE_B
+    from parallax_tpu.ops.pallas_solver import tile_for
 
-    if s.vx.shape[-1] % TILE_B != 0:
+    # tile shrinks with the contact-table size; None = even the smallest
+    # tile would spill VMEM (or batch not tileable) -> XLA solver
+    if tile_for(world.table.n_contacts, s.vx.shape[-1]) is None:
         return False
     return jax.default_backend() == "tpu"
 

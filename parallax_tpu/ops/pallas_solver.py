@@ -36,7 +36,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 from parallax_tpu.dynamics.impulses import ContactSolverConfig
 
-TILE_B = 1024  # 2048 exceeds the 16MB VMEM scoped limit; 512 underutilizes
+import os as _os
+
+# World-batch tile per kernel instance.  1024 is the measured sweet spot
+# (2048 exceeded the 16MB VMEM scoped limit pre-bundling; 512 underutilizes
+# lanes); PARALLAX_TILE_B overrides for tile sweeps on new hardware.
+TILE_B = int(_os.environ.get("PARALLAX_TILE_B", "1024"))
+
+# The kernel keeps ~LIVE_FACTOR [C, tile] f32 temporaries live (inputs,
+# Jacobian rows, partner swaps, impulse accumulators); at C=1320 (48-ball
+# world) a 1024-tile wants ~260MB of VMEM against the chip's 128MB and the
+# register allocator spills.  Shrink the tile with the contact-table size.
+_VMEM_BUDGET = 100 * 1024 * 1024
+_LIVE_FACTOR = 48
+
+
+def tile_for(n_contacts: int, batch: int):
+    """Largest viable world-batch tile for this contact table, or None when
+    even the smallest tile cannot fit (callers then run the XLA solver)."""
+    for t in (TILE_B, 512, 256, 128):
+        if t > TILE_B:
+            continue
+        if batch % t == 0 and _LIVE_FACTOR * n_contacts * t * 4 <= _VMEM_BUDGET:
+            return t
+    return None
 
 # rows of the packed lane-constant input
 _R_IM_A, _R_IM_B, _R_II_A, _R_II_B, _R_E, _R_MU, _R_IS_LEAD, _R_HAS_P = range(8)
@@ -213,7 +236,10 @@ def _solve_fwd_only(
     if C == 0:
         return s
     B = s.vx.shape[-1]
-    assert B % TILE_B == 0, f"batch {B} must be a multiple of {TILE_B}"
+    tile_b = tile_for(C, B)
+    assert tile_b is not None, (
+        f"no viable tile for C={C}, B={B} (callers must gate on tile_for)"
+    )
 
     jrows = _joint_rows(world) if with_joints else []
     params = world.params
@@ -230,10 +256,10 @@ def _solve_fwd_only(
         ii_np=tuple(ii_np.tolist()),
     )
 
-    grid = (B // TILE_B,)
+    grid = (B // tile_b,)
 
     def tile(rows):
-        return pl.BlockSpec((rows, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((rows, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     def whole(a):
         return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -250,6 +276,9 @@ def _solve_fwd_only(
         ),
         out_specs=[tile(n)] * 6,
         out_shape=out_shapes,
+        # Mosaic's default scoped-vmem limit is 16MB; big contact tables
+        # legitimately keep more live (tile_for bounds it to _VMEM_BUDGET)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BUDGET),
         interpret=interpret,
     )(
         ops["lane_const"], ops["oh_a"], ops["oh_b"], ops["oh_p"],
@@ -306,16 +335,26 @@ def solve_arrays(
     def gb(x):
         return jnp.dot(oh_b, x, preferred_element_type=f32)
 
+    # Bundling x/y/omega into one 3x-wide matmul cuts MXU launches 3x, but
+    # the [C, 3*TB] concats it needs blow the VMEM budget for big contact
+    # tables (C=1320 in the 48-ball world spilled 208MB of registers);
+    # bundle only when the wide intermediates stay small.
+    bundle = pen_x.shape[0] <= 256
+
     def ga3(x, y, z):
-        """Three A-side gathers as ONE [C, n] @ [n, 3*TB] matmul: each
-        output column's K-dim accumulation is unchanged (bitwise-identical
-        per element), but the MXU sees a third of the launches."""
+        """Three A-side gathers; when bundled, ONE [C, n] @ [n, 3*TB]
+        matmul (each output column's K-dim accumulation is unchanged, so
+        values are bitwise-identical either way)."""
+        if not bundle:
+            return ga(x), ga(y), ga(z)
         tb = x.shape[-1]
         m = jnp.dot(oh_a, jnp.concatenate([x, y, z], axis=1),
                     preferred_element_type=f32)
         return m[:, :tb], m[:, tb:2 * tb], m[:, 2 * tb:]
 
     def gb3(x, y, z):
+        if not bundle:
+            return gb(x), gb(y), gb(z)
         tb = x.shape[-1]
         m = jnp.dot(oh_b, jnp.concatenate([x, y, z], axis=1),
                     preferred_element_type=f32)
@@ -325,6 +364,8 @@ def solve_arrays(
         return jnp.dot(oh_p, x, preferred_element_type=f32)
 
     def pswap2(x, y):
+        if not bundle:
+            return pswap(x), pswap(y)
         tb = x.shape[-1]
         m = jnp.dot(oh_p, jnp.concatenate([x, y], axis=1),
                     preferred_element_type=f32)
@@ -413,6 +454,17 @@ def solve_arrays(
         dvbx = -jx * im_b
         dvby = -jy * im_b
         dwb = -(rbx * jy - rby * jx) * ii_b
+        if not bundle:
+            vx = vx + jnp.dot(acc_a, dvax, preferred_element_type=f32) + jnp.dot(
+                acc_b, dvbx, preferred_element_type=f32
+            )
+            vy = vy + jnp.dot(acc_a, dvay, preferred_element_type=f32) + jnp.dot(
+                acc_b, dvby, preferred_element_type=f32
+            )
+            om = om + jnp.dot(acc_a, dwa, preferred_element_type=f32) + jnp.dot(
+                acc_b, dwb, preferred_element_type=f32
+            )
+            return vx, vy, om
         tb = vx.shape[-1]
         # one [n, C] @ [C, 3*TB] matmul per side (3x fewer MXU launches)
         acc = jnp.dot(

@@ -155,3 +155,49 @@ def test_pallas_solver_with_joints_grad(contact_state):
 
     g = jax.grad(loss)(jnp.zeros(()))
     assert np.isfinite(np.asarray(g))
+
+
+def test_pallas_solver_big_contact_table(contact_state):
+    """C > 256 takes the unbundled (per-component matmul) branch — the
+    bundled [C, 3*TB] concats blew VMEM on the 48-ball world (C=1320,
+    208MB register spills).  Interpret-mode equivalence on a 24-ball
+    billiards world keeps that branch covered."""
+    from parallax_tpu.envs.billiards import Billiards, BilliardsConfig
+
+    env = Billiards(BilliardsConfig(n_object=23))
+    world = env.world
+    C = world.table.n_contacts
+    assert C > 256, f"need the big-C branch, got C={C}"
+    B = TILE_B
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(2), B))
+    # squeeze the rack gently so ball pairs overlap shallowly (deep
+    # interpenetrations make the 2x2 block-case branches flip on ULP
+    # differences, which is not what this test is about)
+    mv = jnp.isfinite(world.params.mass)[None, :, None]
+    bodies = states.bodies.replace(
+        pos=jnp.where(mv, states.bodies.pos * 0.9, states.bodies.pos),
+        vel=states.bodies.vel
+        + jax.random.normal(jax.random.PRNGKey(3), states.bodies.vel.shape)
+        * 0.5 * mv,
+    )
+    s = _to_soa(bodies)
+    con = jax.jit(lambda s: collide_batched(world, s))(s)
+    assert int(con.active.sum()) > 0
+    ref = jax.jit(
+        lambda s, c: solve_contacts_bm(
+            world, s, c, world.config.solver_iterations,
+            world.config.position_iterations, world.config.dt,
+            world.config.contact,
+        )
+    )(s, con)
+    got = jax.jit(
+        lambda s, c: solve_contacts_pallas(
+            world, s, c, world.config.solver_iterations,
+            world.config.position_iterations, world.config.dt,
+            world.config.contact, interpret=True,
+        )
+    )(s, con)
+    for f in ("px", "py", "vx", "vy", "angle", "omega"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, f)), np.asarray(getattr(got, f)), atol=3e-5
+        )
