@@ -1138,7 +1138,8 @@ def _pallas_ok(world, s) -> bool:
 
     # tile shrinks with the contact-table size; None = even the smallest
     # tile would spill VMEM (or batch not tileable) -> XLA solver
-    if tile_for(world.table.n_contacts, s.vx.shape[-1]) is None:
+    any_partner = any(p >= 0 for p in world.table.partner)
+    if tile_for(world.table.n_contacts, s.vx.shape[-1], any_partner) is None:
         return False
     return jax.default_backend() == "tpu"
 

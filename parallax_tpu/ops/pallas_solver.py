@@ -49,15 +49,17 @@ TILE_B = int(_os.environ.get("PARALLAX_TILE_B", "1024"))
 # register allocator spills.  Shrink the tile with the contact-table size.
 _VMEM_BUDGET = 100 * 1024 * 1024
 _LIVE_FACTOR = 48
+_LIVE_FACTOR_NO_PARTNER = 30  # block-solve path compiled out -> fewer temps
 
 
-def tile_for(n_contacts: int, batch: int):
+def tile_for(n_contacts: int, batch: int, any_partner: bool = True):
     """Largest viable world-batch tile for this contact table, or None when
     even the smallest tile cannot fit (callers then run the XLA solver)."""
+    live = _LIVE_FACTOR if any_partner else _LIVE_FACTOR_NO_PARTNER
     for t in (TILE_B, 512, 256, 128):
         if t > TILE_B:
             continue
-        if batch % t == 0 and _LIVE_FACTOR * n_contacts * t * 4 <= _VMEM_BUDGET:
+        if batch % t == 0 and live * n_contacts * t * 4 <= _VMEM_BUDGET:
             return t
     return None
 
@@ -173,6 +175,11 @@ def _build_operands(world):
         oh_a=jnp.asarray(oh_a), oh_b=jnp.asarray(oh_b),
         oh_p=jnp.asarray(oh_p),
         acc_a=jnp.asarray(acc_a), acc_b=jnp.asarray(acc_b),
+        # static: any 2-point-manifold lanes at all?  circle/box-only
+        # worlds (billiards, robocup) have none — the whole 2x2 block-solve
+        # path and every pswap (oh_p == identity there) drop out of the
+        # kernel statically.
+        any_partner=bool(has_p.any()),
     )
 
 
@@ -236,7 +243,7 @@ def _solve_fwd_only(
     if C == 0:
         return s
     B = s.vx.shape[-1]
-    tile_b = tile_for(C, B)
+    tile_b = tile_for(C, B, ops["any_partner"])
     assert tile_b is not None, (
         f"no viable tile for C={C}, B={B} (callers must gate on tile_for)"
     )
@@ -251,6 +258,7 @@ def _solve_fwd_only(
         position_iterations=position_iterations,
         dt=float(dt),
         config=config,
+        any_partner=ops["any_partner"],
         jrows=tuple(jrows),
         im_np=tuple(im_np.tolist()),
         ii_np=tuple(ii_np.tolist()),
@@ -297,7 +305,7 @@ def _solver_kernel(
     px_ref, py_ref, vx_ref, vy_ref, ang_ref, om_ref,
     opx_ref, opy_ref, ovx_ref, ovy_ref, oang_ref, oom_ref,
     *, iterations, position_iterations, dt, config,
-    jrows=(), im_np=(), ii_np=(),
+    any_partner=True, jrows=(), im_np=(), ii_np=(),
 ):
     opx, opy, ovx, ovy, oang, oom = solve_arrays(
         const_ref[:], oh_a_ref[:], oh_b_ref[:], oh_p_ref[:],
@@ -305,7 +313,7 @@ def _solver_kernel(
         pen_x_ref[:], pen_y_ref[:], pt_x_ref[:], pt_y_ref[:], act_ref[:],
         px_ref[:], py_ref[:], vx_ref[:], vy_ref[:], ang_ref[:], om_ref[:],
         iterations=iterations, position_iterations=position_iterations,
-        dt=dt, config=config,
+        dt=dt, config=config, any_partner=any_partner,
     )
     if jrows:
         ovx, ovy, oom = apply_joint_rows(
@@ -323,10 +331,13 @@ def solve_arrays(
     lane, oh_a, oh_b, oh_p, acc_a, acc_b,
     pen_x, pen_y, pt_x, pt_y, act,
     px, py, vx, vy, ang, om,
-    *, iterations, position_iterations, dt, config,
+    *, iterations, position_iterations, dt, config, any_partner=True,
 ):
     """The solver on plain arrays — shared by the standalone kernel and the
-    fused step kernel (ops.pallas_step)."""
+    fused step kernel (ops.pallas_step).  ``any_partner=False`` (no 2-point
+    manifolds anywhere in the table, a static property) removes every
+    pswap and the whole 2x2 block-solve path from the compiled kernel —
+    for circle/box-only worlds those were pure identity work."""
     f32 = jnp.float32
 
     def ga(x):  # gather body rows for lane side A: [C, TB]
@@ -399,27 +410,25 @@ def solve_arrays(
     rbt = rbx * ty - rby * tx
     k_n = im_a + im_b + ii_a * ran * ran + ii_b * rbn * rbn
     k_t = im_a + im_b + ii_a * rat * rat + ii_b * rbt * rbt
-    ran_p = pswap(ran)
-    rbn_p = pswap(rbn)
-    k_np = im_a + im_b + ii_a * ran * ran_p + ii_b * rbn * rbn_p
-    rat_p = pswap(rat)
-    rbt_p = pswap(rbt)
-    k_tp = im_a + im_b + ii_a * rat * rat_p + ii_b * rbt * rbt_p
     inv_kn = 1.0 / jnp.where(k_n == 0, 1.0, k_n)
     inv_kt = 1.0 / jnp.where(k_t == 0, 1.0, k_t)
 
-    k_p = pswap(k_n)
-    inv_kp = 1.0 / jnp.where(k_p == 0, 1.0, k_p)
-    det = k_n * k_p - k_np * k_np
-    ok_det = jnp.abs(det) >= 1e-12
-    safe_det = jnp.where(ok_det, det, 1.0)
-    k_tpd = pswap(k_t)
-    det_t = k_t * k_tpd - k_tp * k_tp
-    ok_det_t = jnp.abs(det_t) >= 1e-5 * k_t * k_tpd
-    safe_det_t = jnp.where(ok_det_t, det_t, 1.0)
-    inv_kt_coupled = 1.0 / jnp.where(k_t + k_tp == 0, 1.0, k_t + k_tp)
-    active_f = active.astype(f32)
-    blockable = has_p & active & (pswap(active_f) > 0)
+    if any_partner:
+        ran_p, rbn_p = pswap2(ran, rbn)
+        k_np = im_a + im_b + ii_a * ran * ran_p + ii_b * rbn * rbn_p
+        rat_p, rbt_p = pswap2(rat, rbt)
+        k_tp = im_a + im_b + ii_a * rat * rat_p + ii_b * rbt * rbt_p
+        k_p, k_tpd = pswap2(k_n, k_t)
+        inv_kp = 1.0 / jnp.where(k_p == 0, 1.0, k_p)
+        det = k_n * k_p - k_np * k_np
+        ok_det = jnp.abs(det) >= 1e-12
+        safe_det = jnp.where(ok_det, det, 1.0)
+        det_t = k_t * k_tpd - k_tp * k_tp
+        ok_det_t = jnp.abs(det_t) >= 1e-5 * k_t * k_tpd
+        safe_det_t = jnp.where(ok_det_t, det_t, 1.0)
+        inv_kt_coupled = 1.0 / jnp.where(k_t + k_tp == 0, 1.0, k_t + k_tp)
+        active_f = active.astype(f32)
+        blockable = has_p & active & (pswap(active_f) > 0)
 
     def rel_vel(vx, vy, om):
         gax, gay, om_a = ga3(vx, vy, om)
@@ -491,47 +500,57 @@ def solve_arrays(
             # jn == 0 exactly: drop the pswap(jn) and the k*0 terms
             # (0 + x == x and k*0 == 0 in f32 for finite k — bitwise-same)
             jn_single = jnp.maximum(rhs * inv_kn, 0.0)
-            rhs_p = pswap(rhs)
-            b0 = rhs
-            b1 = rhs_p
         else:
             jn_single = jnp.maximum(jn + rhs * inv_kn, 0.0)
-            rhs_p, jn_p = pswap2(rhs, jn)
-            b0 = k_n * jn + k_np * jn_p + rhs
-            b1 = k_np * jn + k_p * jn_p + rhs_p
-        x0_full = (k_p * b0 - k_np * b1) / safe_det
-        x1_full = (k_n * b1 - k_np * b0) / safe_det
-        ok_full = (x0_full >= 0) & (x1_full >= 0) & ok_det
-        x0_c2 = jnp.maximum(b0 * inv_kn, 0.0)
-        ok_c2 = k_np * x0_c2 - b1 >= -1e-9
-        x1_c3 = jnp.maximum(b1 * inv_kp, 0.0)
-        ok_c3 = k_np * x1_c3 - b0 >= -1e-9
-        x0 = jnp.where(ok_full, x0_full, jnp.where(ok_c2, x0_c2, 0.0))
-        x1 = jnp.where(ok_full, x1_full, jnp.where(ok_c2, 0.0, jnp.where(ok_c3, x1_c3, 0.0)))
-        jn_block = jnp.where(is_lead, x0, pswap(x1))
-        jn_new = jnp.where(blockable, jn_block, jn_single)
-        jn_new = jnp.where(active, jn_new, 0.0)
+        if not any_partner:
+            jn_new = jnp.where(active, jn_single, 0.0)
+        else:
+            if it == 0:
+                rhs_p = pswap(rhs)
+                b0 = rhs
+                b1 = rhs_p
+            else:
+                rhs_p, jn_p = pswap2(rhs, jn)
+                b0 = k_n * jn + k_np * jn_p + rhs
+                b1 = k_np * jn + k_p * jn_p + rhs_p
+            x0_full = (k_p * b0 - k_np * b1) / safe_det
+            x1_full = (k_n * b1 - k_np * b0) / safe_det
+            ok_full = (x0_full >= 0) & (x1_full >= 0) & ok_det
+            x0_c2 = jnp.maximum(b0 * inv_kn, 0.0)
+            ok_c2 = k_np * x0_c2 - b1 >= -1e-9
+            x1_c3 = jnp.maximum(b1 * inv_kp, 0.0)
+            ok_c3 = k_np * x1_c3 - b0 >= -1e-9
+            x0 = jnp.where(ok_full, x0_full, jnp.where(ok_c2, x0_c2, 0.0))
+            x1 = jnp.where(ok_full, x1_full, jnp.where(ok_c2, 0.0, jnp.where(ok_c3, x1_c3, 0.0)))
+            jn_block = jnp.where(is_lead, x0, pswap(x1))
+            jn_new = jnp.where(blockable, jn_block, jn_single)
+            jn_new = jnp.where(active, jn_new, 0.0)
         vx, vy, om = scatter(jn_new - jn, jnp.zeros_like(jn), vx, vy, om)
         jn = jn_new
 
         _, v_t = rel_vel(vx, vy, om)
         if it == 0:  # jt == 0 exactly (same algebra as the normal pass)
             jt_single = v_t * inv_kt
-            jt_split = v_t * inv_kt_coupled
-            v_t_p = pswap(v_t)
-            bt0 = v_t
-            bt1 = v_t_p
         else:
             jt_single = jt + v_t * inv_kt
-            jt_split = jt + v_t * inv_kt_coupled
-            v_t_p, jt_p = pswap2(v_t, jt)
-            bt0 = k_t * jt + k_tp * jt_p + v_t
-            bt1 = k_tp * jt + k_tpd * jt_p + v_t_p
-        xt0 = (k_tpd * bt0 - k_tp * bt1) / safe_det_t
-        xt1 = (k_t * bt1 - k_tp * bt0) / safe_det_t
-        jt_block = jnp.where(is_lead, xt0, pswap(xt1))
-        jt_block = jnp.where(ok_det_t, jt_block, jt_split)
-        jt_new = jnp.where(blockable, jt_block, jt_single)
+        if not any_partner:
+            jt_new = jt_single
+        else:
+            if it == 0:
+                jt_split = v_t * inv_kt_coupled
+                v_t_p = pswap(v_t)
+                bt0 = v_t
+                bt1 = v_t_p
+            else:
+                jt_split = jt + v_t * inv_kt_coupled
+                v_t_p, jt_p = pswap2(v_t, jt)
+                bt0 = k_t * jt + k_tp * jt_p + v_t
+                bt1 = k_tp * jt + k_tpd * jt_p + v_t_p
+            xt0 = (k_tpd * bt0 - k_tp * bt1) / safe_det_t
+            xt1 = (k_t * bt1 - k_tp * bt0) / safe_det_t
+            jt_block = jnp.where(is_lead, xt0, pswap(xt1))
+            jt_block = jnp.where(ok_det_t, jt_block, jt_split)
+            jt_new = jnp.where(blockable, jt_block, jt_single)
         lim = mu * jn
         jt_new = jnp.clip(jt_new, -lim, lim)
         jt_new = jnp.where(active, jt_new, 0.0)
