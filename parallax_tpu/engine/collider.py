@@ -125,17 +125,22 @@ def build_pair_table(
     area_bodies: Sequence[bool],
     collision_filter: Sequence[tuple] = (),
     narrowphase: str = "sat",
+    part_collision_filter: Sequence[tuple] = (),
 ) -> PairTable:
     """Host-side pair enumeration.
 
     * static-static pairs are dropped (nothing to resolve);
     * pairs in ``collision_filter`` (unordered body-index tuples) dropped;
+    * pairs in ``part_collision_filter`` (unordered PART-index tuples)
+      dropped — for callers that statically know two specific parts can
+      never touch (e.g. per-body terrain-candidate windows);
     * pairs involving an area body produce containment kernels: the
       non-area body must stay inside the area shape
       (reference intent, _robocup.py:88-109);
     * everything else is classified by (kind_a, kind_b) canonical order.
     """
     filt = {tuple(sorted(p)) for p in collision_filter}
+    pfilt = {tuple(sorted(p)) for p in part_collision_filter}
     P = parts.n_parts
     buckets: dict = {k: [] for k in KERNEL_ORDER}
 
@@ -145,6 +150,8 @@ def build_pair_table(
             if bi == bj:
                 continue
             if tuple(sorted((bi, bj))) in filt:
+                continue
+            if pfilt and (p, q) in pfilt:
                 continue
             if static_bodies[bi] and static_bodies[bj]:
                 continue

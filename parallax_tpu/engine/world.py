@@ -119,6 +119,7 @@ class World(struct.PyTreeNode):
         config: WorldConfig = WorldConfig(),
         joints: Optional[Joints] = None,
         collision_filter: Sequence[tuple] = (),
+        part_collision_filter: Sequence[tuple] = (),
     ) -> tuple["World", BodyState]:
         specs, owner = [], []
         for i, b in enumerate(bodies):
@@ -136,7 +137,9 @@ class World(struct.PyTreeNode):
                     "(use a polygon part)"
                 )
         table = build_pair_table(
-            parts, static, areas, collision_filter, narrowphase=config.narrowphase
+            parts, static, areas, collision_filter,
+            narrowphase=config.narrowphase,
+            part_collision_filter=part_collision_filter,
         )
 
         params = BodyParams(

@@ -222,3 +222,56 @@ def test_grad_through_chunked_rollout():
     g = jax.grad(mean_return)(jnp.asarray(0.4))
     assert np.isfinite(np.asarray(g))
     assert abs(float(g)) > 1e-6
+
+
+def test_terrain_candidates_match_full_table():
+    """The candidate world (per-body K-segment windows, LanderConfig.
+    terrain_candidates) must produce the same physics as colliding against
+    all 7 segments: every possibly-active contact is inside its body's
+    window by the circumradius/segment-width argument, so only inactive
+    lanes differ.  Paired steps from identical states, resynced each step,
+    with the fleet scattered across the full terrain (incl. deep ground
+    penetration) would expose any fall-through."""
+    from parallax_tpu.envs.lunar_lander import LanderConfig
+
+    env_c = LunarLander(LanderConfig(terrain_candidates=True))
+    env_f = LunarLander()
+    assert env_c._use_candidates and not env_f._use_candidates
+    assert env_c._bm_world.table.n_contacts < env_f._bm_world.table.n_contacts
+
+    B = 64
+    states = env_c.reset_fn_batch(jax.random.split(jax.random.PRNGKey(11), B))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(12))
+    # shift each whole lander assembly (keep joints intact) across the
+    # terrain: x in [-11.5, 11.5] sweeps every segment incl. boundaries,
+    # y down to below ground level for deep-penetration lanes
+    off = jnp.stack(
+        [jax.random.uniform(k1, (B,), minval=-11.5, maxval=11.5),
+         jax.random.uniform(k2, (B,), minval=-8.0, maxval=2.0)],
+        axis=-1,
+    )
+    bodies = states.bodies.replace(
+        pos=states.bodies.pos + off[:, None, :],
+        vel=states.bodies.vel + jnp.asarray([0.0, -2.0]),
+    )
+    states = states.replace(bodies=bodies)
+
+    acts = jnp.zeros((B, 2))
+    step_c = jax.jit(env_c.step_batch)
+    step_f = jax.jit(env_f.step_batch)
+    any_contact = False
+    for _ in range(60):
+        sc, tc = step_c(states, acts)
+        sf, tf = step_f(states, acts)
+        np.testing.assert_allclose(
+            np.asarray(sc.bodies.pos), np.asarray(sf.bodies.pos), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(sc.bodies.vel), np.asarray(sf.bodies.vel), atol=1e-4
+        )
+        assert (
+            np.asarray(sc.leg_contacts) == np.asarray(sf.leg_contacts)
+        ).all()
+        any_contact = any_contact or bool(np.asarray(sc.leg_contacts).any())
+        states = sc  # resync both paths on the candidate trajectory
+    assert any_contact, "the fleet must actually touch the terrain"
