@@ -2,8 +2,15 @@
 
 Times three nested slices of the lander step at each batch size —
 collide-only, full physics (collide + solve + joints), and the full env
-rollout (physics + terrain override + obs/reward/reset) — so a throughput
-collapse at large B can be attributed to a phase.
+rollout (physics + terrain override + obs/reward/reset).
+
+CAVEAT (measured): the three loops are SEPARATE XLA programs with
+different DCE surfaces and layouts, so their times are NOT decomposable
+into phases — the physics-only scan even compiles ~40% slower than the
+full env scan at the same batch.  For real attribution use device-side
+profiling instead (jax.profiler.start_trace works through the axon
+tunnel; per-op rows appear under the /device:TPU:0 pid — see CLAUDE.md).
+This tool remains useful only for the per-program batch-scaling SHAPE.
 
     timeout 3500 python tools/bench_phases.py [B ...]
 """
