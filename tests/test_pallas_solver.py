@@ -201,3 +201,24 @@ def test_pallas_solver_big_contact_table(contact_state):
         np.testing.assert_allclose(
             np.asarray(getattr(ref, f)), np.asarray(getattr(got, f)), atol=3e-5
         )
+
+
+def test_tile_for_budgets():
+    """Host-side tile selection: shrinks with the contact-table size,
+    honors batch divisibility, returns None when nothing fits."""
+    from parallax_tpu.ops.pallas_solver import TILE_B, tile_for
+
+    assert tile_for(52, 8192) == TILE_B  # lander: full tile
+    assert tile_for(1320, 8192, any_partner=True) == 256  # 48-ball world
+    assert tile_for(1320, 8192, any_partner=False) == 512  # leaner kernel
+    assert tile_for(52, 8192 + 128) == 128  # odd batch: only 128 divides
+    assert tile_for(10**6, 8192) is None  # nothing fits -> XLA fallback
+    assert tile_for(52, 100) is None  # batch not tileable
+
+
+def test_build_operands_any_partner_flag():
+    from parallax_tpu.envs.billiards import Billiards
+    from parallax_tpu.ops.pallas_solver import _build_operands
+
+    assert _build_operands(LunarLander().world)["any_partner"] is True
+    assert _build_operands(Billiards().world)["any_partner"] is False
