@@ -971,54 +971,33 @@ def solve_contacts_bm(
 
 
 def apply_joints_bm(world, s: _SoA) -> _SoA:
+    """Gauss-Seidel spring-damper joints, batch-minor.
+
+    Delegates to ``ops.pallas_solver.apply_joint_rows`` (the single joint
+    implementation, shared with the Pallas kernels) with TRACED leaves, so
+    anchors/gains/masses stay differentiable.  Row rebuilds instead of
+    ``.at[a].add``: the DUS chains' [1, B] updates tile T(1,128) — 1/8
+    sublane utilization, measured ~40 us/step at B=8192."""
     joints = world.joints
-    J = joints.n_joints
-    if J == 0:
+    if joints.n_joints == 0:
         return s
+    from parallax_tpu.ops.pallas_solver import apply_joint_rows
+
+    jrows = [
+        dict(
+            a=joints.body_a[j], b=joints.body_b[j],
+            ax=joints.anchor_a[j, 0], ay=joints.anchor_a[j, 1],
+            bx=joints.anchor_b[j, 0], by=joints.anchor_b[j, 1],
+            kp=joints.kp[j], kd=joints.kd[j], v0=joints.v0[j],
+        )
+        for j in range(joints.n_joints)
+    ]
     params = world.params
-    n = world.n_bodies
-    # Gauss-Seidel over joints with per-body ROW variables, stacked once at
-    # the end: ``.at[a].add`` per joint lowers to dynamic-update-slice
-    # chains whose [1, B] updates tile T(1,128) (1/8 sublane utilization,
-    # measured ~40 us/step at B=8192); row rebuilds keep the same
-    # sequential arithmetic (bitwise-identical) in well-shaped [B] vectors.
-    vx_r = [s.vx[b] for b in range(n)]
-    vy_r = [s.vy[b] for b in range(n)]
-    om_r = [s.omega[b] for b in range(n)]
-    for j in range(J):
-        a = joints.body_a[j]
-        b = joints.body_b[j]
-        ca, sa = jnp.cos(s.angle[a]), jnp.sin(s.angle[a])
-        cb, sb = jnp.cos(s.angle[b]), jnp.sin(s.angle[b])
-        ax_l, ay_l = joints.anchor_a[j, 0], joints.anchor_a[j, 1]
-        bx_l, by_l = joints.anchor_b[j, 0], joints.anchor_b[j, 1]
-        pax = s.px[a] + ca * ax_l - sa * ay_l
-        pay = s.py[a] + sa * ax_l + ca * ay_l
-        pbx = s.px[b] + cb * bx_l - sb * by_l
-        pby = s.py[b] + sb * bx_l + cb * by_l
-        rax, ray = pax - s.px[a], pay - s.py[a]
-        rbx, rby = pbx - s.px[b], pby - s.py[b]
-        vax = vx_r[a] - ray * om_r[a]
-        vay = vy_r[a] + rax * om_r[a]
-        vbx = vx_r[b] - rby * om_r[b]
-        vby = vy_r[b] + rbx * om_r[b]
-        dpx, dpy = pax - pbx, pay - pby
-        dvx_, dvy_ = vax - vbx, vay - vby
-        dvn = jnp.sqrt(jnp.maximum(dvx_ * dvx_ + dvy_ * dvy_, 1e-30))
-        kp, kd, v0 = joints.kp[j], joints.kd[j], joints.v0[j]
-        Jx = dpx * kp + dvx_ * (dvn + v0) * kd
-        Jy = dpy * kp + dvy_ * (dvn + v0) * kd
-        im_a, ii_a = params.inv_mass[a], params.inv_inertia[a]
-        im_b, ii_b = params.inv_mass[b], params.inv_inertia[b]
-        vx_r[a] = vx_r[a] - Jx * im_a
-        vx_r[b] = vx_r[b] + Jx * im_b
-        vy_r[a] = vy_r[a] - Jy * im_a
-        vy_r[b] = vy_r[b] + Jy * im_b
-        om_r[a] = om_r[a] - (rax * Jy - ray * Jx) * ii_a
-        om_r[b] = om_r[b] + (rbx * Jy - rby * Jx) * ii_b
-    return s._replace(
-        vx=jnp.stack(vx_r), vy=jnp.stack(vy_r), omega=jnp.stack(om_r)
+    vx, vy, om = apply_joint_rows(
+        jrows, params.inv_mass, params.inv_inertia,
+        s.px, s.py, s.vx, s.vy, s.angle, s.omega,
     )
+    return s._replace(vx=vx, vy=vy, omega=om)
 
 
 # ---------------------------------------------------------------------------

@@ -186,6 +186,15 @@ def terrain_vertices(key) -> jnp.ndarray:
 class LunarLander(BatchedEnvironmentMixin, Environment):
     def __init__(self, config: LanderConfig = LanderConfig()):
         self.config = config
+        if config.use_pallas_fused and config.broadphase:
+            # same loud-rejection policy as parallel.rollout's checkpoint
+            # guard: a silent fallback to the split path would make users
+            # believe they are measuring the fused kernel
+            raise ValueError(
+                "use_pallas_fused requires broadphase=False (the fused "
+                "kernel has no AABB pre-mask stage): "
+                "LanderConfig(use_pallas_fused=True, broadphase=False)"
+            )
 
         lander = BodyDef(
             shapes=[polygon(LANDER_POLY * SCALE)],

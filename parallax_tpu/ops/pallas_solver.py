@@ -54,9 +54,11 @@ _LIVE_FACTOR_NO_PARTNER = 30  # block-solve path compiled out -> fewer temps
 
 def tile_for(n_contacts: int, batch: int, any_partner: bool = True):
     """Largest viable world-batch tile for this contact table, or None when
-    even the smallest tile cannot fit (callers then run the XLA solver)."""
+    even the smallest tile cannot fit (callers then run the XLA solver).
+    TILE_B is a cap: raising it via PARALLAX_TILE_B still tries the whole
+    ladder below it."""
     live = _LIVE_FACTOR if any_partner else _LIVE_FACTOR_NO_PARTNER
-    for t in (TILE_B, 512, 256, 128):
+    for t in sorted({TILE_B, 1024, 512, 256, 128}, reverse=True):
         if t > TILE_B:
             continue
         if batch % t == 0 and live * n_contacts * t * 4 <= _VMEM_BUDGET:
@@ -92,8 +94,10 @@ def _joint_rows(world):
 
 def apply_joint_rows(jrows, im, ii, px, py, vx, vy, ang, om):
     """Sequential spring-damper joints on [n, TB] planes via per-body row
-    variables (no scatter; Pallas-safe and the fast XLA shape).  Twin of
-    ``engine.batched.apply_joints_bm``; same reference impulse law
+    variables (no scatter; Pallas-safe and the fast XLA shape).  THE joint
+    implementation: the Pallas kernels pass static float rows, and
+    ``engine.batched.apply_joints_bm`` passes traced leaves (differentiable
+    w.r.t. anchors/gains/masses).  Same reference impulse law
     (/root/reference/cotix/_lunar_lander.py:188-189)."""
     n = px.shape[0]
     vx_r = [vx[b] for b in range(n)]
@@ -118,8 +122,9 @@ def apply_joint_rows(jrows, im, ii, px, py, vx, vy, ang, om):
         dvn = jnp.sqrt(jnp.maximum(dvx_ * dvx_ + dvy_ * dvy_, 1e-30))
         Jx = dpx * j["kp"] + dvx_ * (dvn + j["v0"]) * j["kd"]
         Jy = dpy * j["kp"] + dvy_ * (dvn + j["v0"]) * j["kd"]
-        im_a, im_b = float(im[a]), float(im[b])
-        ii_a, ii_b = float(ii[a]), float(ii[b])
+        # im/ii may be float tuples (kernel) or traced arrays (XLA path)
+        im_a, im_b = im[a], im[b]
+        ii_a, ii_b = ii[a], ii[b]
         vx_r[a] = vx_r[a] - Jx * im_a
         vx_r[b] = vx_r[b] + Jx * im_b
         vy_r[a] = vy_r[a] - Jy * im_a
@@ -146,7 +151,7 @@ def _build_operands(world):
     inertia = np.asarray(params.inertia)
     e_np = np.asarray(params.elasticity)
     mu_np = np.asarray(params.friction)
-    im = (1.0 / mass).astype(np.float32)
+    im = (1.0 / mass).astype(np.float32)  # inf mass -> 0 (static bodies)
     ii = (1.0 / inertia).astype(np.float32)
 
     lane_const = np.zeros((_NUM_CONST_ROWS, C), np.float32)
@@ -180,6 +185,7 @@ def _build_operands(world):
         # path and every pswap (oh_p == identity there) drop out of the
         # kernel statically.
         any_partner=bool(has_p.any()),
+        im=tuple(im.tolist()), ii=tuple(ii.tolist()),
     )
 
 
@@ -249,9 +255,6 @@ def _solve_fwd_only(
     )
 
     jrows = _joint_rows(world) if with_joints else []
-    params = world.params
-    im_np = (1.0 / np.asarray(params.mass)).astype(np.float32)
-    ii_np = (1.0 / np.asarray(params.inertia)).astype(np.float32)
     kernel = functools.partial(
         _solver_kernel,
         iterations=iterations,
@@ -260,8 +263,8 @@ def _solve_fwd_only(
         config=config,
         any_partner=ops["any_partner"],
         jrows=tuple(jrows),
-        im_np=tuple(im_np.tolist()),
-        ii_np=tuple(ii_np.tolist()),
+        im_np=ops["im"],
+        ii_np=ops["ii"],
     )
 
     grid = (B // tile_b,)

@@ -63,29 +63,9 @@ def _static_step_info(world, override_parts):
         )
         groups.append(dict(ia=ia, ib=ib, Va=Va, Vb=Vb, ema=ema, emb=emb))
 
-    joints = world.joints
-    # convert the (concrete) joint leaves to numpy BEFORE indexing: slicing
-    # a jnp constant inside an outer trace would create tracers
-    anc_a = np.asarray(joints.anchor_a)
-    anc_b = np.asarray(joints.anchor_b)
-    kp_np = np.asarray(joints.kp)
-    kd_np = np.asarray(joints.kd)
-    v0_np = np.asarray(joints.v0)
-    jrows = []
-    for j in range(joints.n_joints):
-        jrows.append(
-            dict(
-                a=joints.body_a[j],
-                b=joints.body_b[j],
-                ax=float(anc_a[j, 0]),
-                ay=float(anc_a[j, 1]),
-                bx=float(anc_b[j, 0]),
-                by=float(anc_b[j, 1]),
-                kp=float(kp_np[j]),
-                kd=float(kd_np[j]),
-                v0=float(v0_np[j]),
-            )
-        )
+    from parallax_tpu.ops.pallas_solver import _joint_rows
+
+    jrows = _joint_rows(world)
     params = world.params
     return dict(
         V=V,

@@ -206,6 +206,10 @@ def test_pallas_solver_big_contact_table(contact_state):
 def test_tile_for_budgets():
     """Host-side tile selection: shrinks with the contact-table size,
     honors batch divisibility, returns None when nothing fits."""
+    import os
+
+    if os.environ.get("PARALLAX_TILE_B"):
+        pytest.skip("expectations assume the default TILE_B cap")
     from parallax_tpu.ops.pallas_solver import TILE_B, tile_for
 
     assert tile_for(52, 8192) == TILE_B  # lander: full tile
