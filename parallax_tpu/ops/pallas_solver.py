@@ -247,6 +247,13 @@ def _solve_fwd_only(
     ops = _build_operands(world)
     C, n = ops["C"], ops["n"]
     if C == 0:
+        # no contact lanes, but the with_joints contract must still hold:
+        # a contact-free world with joints gets them via the XLA path
+        # (there is no kernel to fuse them into)
+        if with_joints:
+            from parallax_tpu.engine.batched import apply_joints_bm
+
+            return apply_joints_bm(world, s)
         return s
     B = s.vx.shape[-1]
     tile_b = tile_for(C, B, ops["any_partner"])

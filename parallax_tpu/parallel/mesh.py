@@ -23,15 +23,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 WORLD_AXIS = "worlds"
 
 
-def distributed_init(coordinator_address: Optional[str] = None, **kwargs) -> None:
-    """Initialize multi-host JAX (no-op when single-process).
+def distributed_init(
+    coordinator_address: Optional[str] = None, auto: bool = False, **kwargs
+) -> None:
+    """Initialize multi-host JAX.
 
     Must run before anything touches the XLA backend, so the
     single-process decision is made from the arguments alone — probing
     ``jax.process_count()`` here would itself initialize the backend and
     make ``jax.distributed.initialize`` impossible (caught by
-    tests/test_distributed.py)."""
-    if coordinator_address is None and not kwargs:
+    tests/test_distributed.py).
+
+    Called bare, this is a NO-OP (single-process).  TPU pod slices whose
+    environment auto-detects the coordinator (the documented no-arg
+    ``jax.distributed.initialize()`` path) must opt in with ``auto=True``;
+    multiprocess CPU/GPU launches pass ``coordinator_address`` (+
+    ``num_processes``/``process_id``) explicitly."""
+    if coordinator_address is None and not kwargs and not auto:
         return
     jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)
 

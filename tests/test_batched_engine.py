@@ -199,13 +199,17 @@ def test_chunked_rollout_matches_unchunked():
         np.asarray(traj_a.obs), np.asarray(traj_b.obs), atol=1e-8
     )
 
-    # non-divisible batches fall back to a single wave
-    fin_c, _ = jax.jit(
+    # non-divisible batches run full waves plus a REMAINDER wave (never one
+    # giant wave): B=8, chunk=3 -> waves [3,3] + tail [2], still bitwise on
+    # final state and reward per world, original order preserved
+    fin_c, traj_c = jax.jit(
         lambda s: env.rollout_batch(s, policy, 25, max_chunk=3)
     )(states)
     for xa, xc in zip(jax.tree_util.tree_leaves(fin_a),
                       jax.tree_util.tree_leaves(fin_c)):
+        assert xa.shape == xc.shape
         assert (np.asarray(xa) == np.asarray(xc)).all()
+    assert (np.asarray(traj_a.reward) == np.asarray(traj_c.reward)).all()
 
 
 def test_grad_through_chunked_rollout():

@@ -141,6 +141,36 @@ def test_poisoned_world_resets_without_aborting_mesh():
         dbc.set_raise_on_violation(True)
 
 
+def test_fleet_mode_predicate_violation_is_observable():
+    """With raising disabled (fleet mode), a violated predicate-only
+    pre/post-condition — no arrays to poison — must still be observable:
+    it lands in the host-side violation log (round-2 VERDICT weak #4)."""
+    dbc.set_raise_on_violation(False)
+    dbc.clear_violations()
+    try:
+        @dbc.pre_condition(lambda x: jnp.all(x > 0), "x must be positive")
+        def f(x):
+            return x * 2
+
+        jax.block_until_ready(f(jnp.asarray(3.0)))
+        jax.effects_barrier()
+        assert dbc.violations() == ()  # satisfied contract records nothing
+
+        jax.block_until_ready(f(jnp.asarray(-1.0)))
+        jax.effects_barrier()
+        assert "x must be positive" in dbc.violations()
+
+        # under jit too
+        dbc.clear_violations()
+        jf = jax.jit(f)
+        jax.block_until_ready(jf(jnp.asarray(-2.0)))
+        jax.effects_barrier()
+        assert "x must be positive" in dbc.violations()
+    finally:
+        dbc.set_raise_on_violation(True)
+        dbc.clear_violations()
+
+
 def test_class_invariant_field_annotations():
     """Annotated fields are enforced: wrong plain-class type raises
     TypeError; non-finite float array fields trip the NaN-early check
