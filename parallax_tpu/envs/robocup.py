@@ -81,6 +81,14 @@ class RoboCupConfig:
     solver_iterations: int = 3
     position_iterations: int = 2
     randomize_ball: bool = True
+    # reference-parity knobs (same surface as LanderConfig):
+    # narrowphase="gjk_epa" + solver_mode="random_one_per_body" +
+    # contact=ContactSolverConfig.reference() + broadphase=False runs
+    # RoboCup through the exact reference pipeline (vmapped path only).
+    # Pinned bitwise by tests/test_golden_parity.py config 5.
+    narrowphase: str = "sat"
+    broadphase: bool = True
+    contact: object = None  # Optional[ContactSolverConfig]; None = default
 
 
 class RoboCupState(struct.PyTreeNode):
@@ -148,6 +156,9 @@ class RoboCup(BatchedEnvironmentMixin, Environment):
             dt=config.dt,
             gravity=(0.0, 0.0),
             integrator="reference",
+            narrowphase=config.narrowphase,
+            broadphase=config.broadphase,
+            **({} if config.contact is None else {"contact": config.contact}),
             solver_mode=config.solver_mode,
             solver_iterations=config.solver_iterations,
             position_iterations=config.position_iterations,
@@ -222,7 +233,14 @@ class RoboCup(BatchedEnvironmentMixin, Environment):
             omega=b.omega.at[ri].set(w_cmd),
         )
 
-        b, contacts = self.world.step(b)
+        # the randomized reference solver draws its lane choice from the
+        # episode stream (same fold_in pattern as the lander's step_fn)
+        solver_key = (
+            jax.random.fold_in(state.key, 0x50CC)
+            if self.world.config.solver_mode == "random_one_per_body"
+            else None
+        )
+        b, contacts = self.world.step(b, key=solver_key)
         # ball rolling friction
         b = b.replace(vel=b.vel.at[self.ball_idx].multiply(cfg.ball_damping))
 
