@@ -41,6 +41,7 @@ from parallax_tpu.dynamics.joints import Joints, apply_joints
 from parallax_tpu.dynamics.block_solver import solve_contacts as solve_contacts_block
 from parallax_tpu.dynamics.solver import resolve_contacts
 from parallax_tpu.engine.collider import PairTable, build_pair_table, collide
+from parallax_tpu.engine.ref_replay import build_replay_plan, resolve_reference_keyed
 from parallax_tpu.geometry.contacts import Contact
 from parallax_tpu.geometry.shapes import Parts, ShapeSpec
 
@@ -59,7 +60,10 @@ class WorldConfig:
     # far-apart activity from narrow-phase float noise; disable for bitwise
     # parity with reference-mode trajectories.
     broadphase: bool = True
-    solver_mode: str = "block"  # block | jacobi | gauss_seidel | random_one_per_body
+    # block | jacobi | gauss_seidel | random_one_per_body |
+    # random_one_per_body_keyed (key-for-key replay of the reference
+    # RandomizedCollider's PRNG tree — engine.ref_replay)
+    solver_mode: str = "block"
     solver_iterations: int = 4
     position_iterations: int = 3  # split-impulse passes (block mode only)
     relaxation: float = 1.0
@@ -207,7 +211,14 @@ class World(struct.PyTreeNode):
             state = apply_acceleration(state, grav, dt, mov)
 
         contacts = self.detect_contacts(state)
-        if cfg.solver_mode == "block":
+        if cfg.solver_mode == "random_one_per_body_keyed":
+            plan = build_replay_plan(
+                self.parts.kind, self.parts.nverts, self.parts.body, self.n_bodies
+            )
+            state = resolve_reference_keyed(
+                self.world_parts(state), state, self.params, plan, key, cfg.contact
+            )
+        elif cfg.solver_mode == "block":
             state = solve_contacts_block(
                 state,
                 self.params,

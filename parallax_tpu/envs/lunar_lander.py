@@ -459,7 +459,7 @@ class LunarLander(BatchedEnvironmentMixin, Environment):
         # is re-split by Environment.step each step so this stays fresh)
         solver_key = (
             jax.random.fold_in(state.key, 0x501E)
-            if world.config.solver_mode == "random_one_per_body"
+            if world.config.solver_mode.startswith("random_one_per_body")
             else None
         )
         b, contacts = world.step(b, key=solver_key)

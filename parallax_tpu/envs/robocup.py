@@ -237,7 +237,7 @@ class RoboCup(BatchedEnvironmentMixin, Environment):
         # episode stream (same fold_in pattern as the lander's step_fn)
         solver_key = (
             jax.random.fold_in(state.key, 0x50CC)
-            if self.world.config.solver_mode == "random_one_per_body"
+            if self.world.config.solver_mode.startswith("random_one_per_body")
             else None
         )
         b, contacts = self.world.step(b, key=solver_key)
