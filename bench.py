@@ -18,7 +18,9 @@ a failed backend init for the life of the process, so retrying in-process
 is useless.  This script therefore runs the real benchmark in a CHILD
 process (``--child``) and, in the parent, probes the backend with a
 trivial jitted matmul in a throwaway subprocess (killable on hang) with
-exponential backoff for up to ~10 minutes before each child attempt.  The
+exponential backoff for up to ``--max-wait`` seconds (default 25 min — a
+round-3 outage outlasted the ~10 min typical recovery) before each child
+attempt.  The
 retry machinery (`wait_for_backend`, `resilient_main`) takes injectable
 probe/sleep/clock hooks so tests/test_bench_retry.py can exercise the
 failure paths without a TPU.
@@ -67,7 +69,7 @@ def probe_backend(timeout: float = 120.0) -> bool:
 
 def wait_for_backend(
     probe=probe_backend,
-    max_wait: float = 600.0,
+    max_wait: float = 1500.0,
     sleeps=(15.0, 30.0, 60.0, 120.0),
     _sleep=time.sleep,
     _clock=time.monotonic,
@@ -103,7 +105,7 @@ def resilient_main(
     run_child,
     probe=probe_backend,
     max_attempts: int = 3,
-    max_wait: float = 600.0,
+    max_wait: float = 1500.0,
     _sleep=time.sleep,
     _clock=time.monotonic,
 ) -> int:
@@ -231,6 +233,10 @@ def _parse_args(argv):
                    help="kill a hung benchmark child after this many seconds")
     p.add_argument("--no-retry", action="store_true",
                    help="skip the probe/retry shell (single in-process run)")
+    p.add_argument("--max-wait", type=float, default=1500.0,
+                   help="per-attempt budget (s) spent waiting for a live "
+                        "backend (tunnel outages can outlast the ~10 min "
+                        "typical recovery; round-3 default is 25 min)")
     args = p.parse_args(argv)
     if args.sweep and args.batch != DEFAULT_BATCH:
         p.error("--batch has no effect with --sweep; drop one of them")
@@ -245,7 +251,8 @@ def main(argv=None) -> int:
         return 0
     fwd = [a for a in argv if a not in ("--child",)]
     return resilient_main(
-        lambda: _run_child_subprocess(fwd, timeout=args.child_timeout)
+        lambda: _run_child_subprocess(fwd, timeout=args.child_timeout),
+        max_wait=args.max_wait,
     )
 
 

@@ -34,6 +34,7 @@ from parallax_tpu.dynamics.bodies import BodyState
 from parallax_tpu.engine.batched import step_batched
 from parallax_tpu.engine.world import BodyDef, World, WorldConfig
 from parallax_tpu.envs.base import BatchedEnvironmentMixin, Environment, TimeStep
+from parallax_tpu.envs.plane_env import PlaneEnvMixin
 from parallax_tpu.geometry.shapes import box, circle
 
 # table half-extents and ball size (meters-ish; pool-table 2:1 aspect)
@@ -117,7 +118,7 @@ def _rack_positions(n_object: int) -> np.ndarray:
     return np.asarray(pos, np.float32)
 
 
-class Billiards(Environment, BatchedEnvironmentMixin):
+class Billiards(PlaneEnvMixin, Environment, BatchedEnvironmentMixin):
     def __init__(self, config: BilliardsConfig = BilliardsConfig()):
         self.config = config
         n = 1 + config.n_object
@@ -318,66 +319,38 @@ class Billiards(Environment, BatchedEnvironmentMixin):
 
 
 # ---------------------------------------------------------------------------
-# Plane-space rollout (same pattern as LanderPlanes/RoboCupPlanes): the
-# carry never leaves the batch-minor frame between the rollout boundaries.
+# Plane-space fast path: hooks for the generic driver (envs/plane_env.py).
+# aux = potted [n_balls, B] f32 0/1 planes.
 # ---------------------------------------------------------------------------
 
-from typing import NamedTuple as _NamedTuple  # noqa: E402
-
-from parallax_tpu.engine.batched import (  # noqa: E402
-    _SoA,
-    _from_soa,
-    _to_soa,
-    physics_core,
-)
+from parallax_tpu.engine.batched import _SoA  # noqa: E402  (fresh planes)
 
 
-class BilliardsPlanes(_NamedTuple):
-    s: _SoA  # [n_bodies, B] planes
-    potted: jnp.ndarray  # [n_balls, B] f32 0/1
-    t: jnp.ndarray  # [B] i32
-    key: jnp.ndarray  # [B, 2]
+def _bl_plane_pack(self, states: BilliardsState):
+    return jnp.swapaxes(states.potted, 0, 1).astype(jnp.float32)
 
 
-def _bl_to_planes(self, states: BilliardsState) -> BilliardsPlanes:
-    return BilliardsPlanes(
-        s=_to_soa(states.bodies),
-        potted=jnp.swapaxes(states.potted, 0, 1).astype(jnp.float32),
-        t=states.t,
-        key=states.key,
-    )
-
-
-def _bl_from_planes(self, ps: BilliardsPlanes) -> BilliardsState:
+def _bl_plane_make_state(self, bodies, aux, t, key):
     return BilliardsState(
-        bodies=_from_soa(ps.s),
-        potted=jnp.swapaxes(ps.potted, 0, 1) > 0.5,
-        t=ps.t,
-        key=ps.key,
+        bodies=bodies, potted=jnp.swapaxes(aux, 0, 1) > 0.5, t=t, key=key
     )
 
 
-def _bl_obs_planes(self, ps: BilliardsPlanes):
-    n = self.n_balls
-    s = ps.s
-    rows = []
-    for i in range(n):
-        rows.extend([s.px[i], s.py[i], s.vx[i], s.vy[i], ps.potted[i]])
-    return jnp.stack(rows, axis=-1)  # [B, 5n]
+def _bl_plane_pre(self, s, potted, actions):
+    cfg = self.config
+    B = s.px.shape[-1]
+    a = jnp.clip(jnp.asarray(actions, jnp.float32).reshape(B, 2), -1.0, 1.0)
+    live_cue = 1.0 - potted[0]
+    return s._replace(
+        vx=s.vx.at[0].add(a[:, 0] * cfg.accel * cfg.dt * live_cue),
+        vy=s.vy.at[0].add(a[:, 1] * cfg.accel * cfg.dt * live_cue),
+    )
 
 
-def _bl_step_planes(self, ps: BilliardsPlanes, actions):
+def _bl_plane_post(self, s, potted, con, actions, t_new):
     cfg = self.config
     n = self.n_balls
-    B = ps.t.shape[0]
-    a = jnp.clip(jnp.asarray(actions, jnp.float32).reshape(B, 2), -1.0, 1.0)
-    live_cue = 1.0 - ps.potted[0]
-    s = ps.s._replace(
-        vx=ps.s.vx.at[0].add(a[:, 0] * cfg.accel * cfg.dt * live_cue),
-        vy=ps.s.vy.at[0].add(a[:, 1] * cfg.accel * cfg.dt * live_cue),
-    )
-    s, _con = physics_core(self.world, s)
-    damp = jnp.where(ps.potted > 0.5, 0.0, cfg.damping)  # [n, B]
+    damp = jnp.where(potted > 0.5, 0.0, cfg.damping)  # [n, B]
     s = s._replace(vx=s.vx.at[:n].mul(damp), vy=s.vy.at[:n].mul(damp))
 
     # pot detection on [n, B] planes
@@ -385,8 +358,8 @@ def _bl_step_planes(self, ps: BilliardsPlanes, actions):
     cy = jnp.asarray(_CORNERS[:, 1])[None, :, None]
     d2 = (s.px[:n, None, :] - cx) ** 2 + (s.py[:n, None, :] - cy) ** 2
     hit = jnp.min(d2, axis=1) <= POCKET_R**2  # [n, B]
-    new_pot = hit & (ps.potted < 0.5)
-    potted = jnp.where(new_pot, 1.0, ps.potted)
+    new_pot = hit & (potted < 0.5)
+    potted = jnp.where(new_pot, 1.0, potted)
     park = jnp.asarray(self._park)  # [n, 2]
     s = s._replace(
         px=s.px.at[:n].set(jnp.where(new_pot, park[:, 0:1], s.px[:n])),
@@ -403,84 +376,44 @@ def _bl_step_planes(self, ps: BilliardsPlanes, actions):
         + jnp.where(cleared & jnp.any(new_pot[1:], axis=0), cfg.clear_bonus, 0.0)
         - cfg.living_cost
     )
-    t_new = ps.t + 1
     terminated = cue_lost | cleared
-    # NaN watchdog (mirrors BatchedEnvironmentMixin.step_batch)
-    finite = (
-        jnp.isfinite(s.px).all(0)
-        & jnp.isfinite(s.py).all(0)
-        & jnp.isfinite(s.vx).all(0)
-        & jnp.isfinite(s.vy).all(0)
-        & jnp.isfinite(s.angle).all(0)
-        & jnp.isfinite(s.omega).all(0)
-    )
-    truncated = ((t_new >= cfg.max_steps) & ~terminated) | ~finite
-    done = terminated | truncated
+    info = {"cue_lost": cue_lost, "cleared": cleared}
+    return s, potted, reward, terminated, info
 
-    out_mid = BilliardsPlanes(s=s, potted=potted, t=t_new, key=ps.key)
-    ts = TimeStep(
-        obs=self._obs_planes(out_mid),
-        reward=reward,
-        terminated=terminated,
-        truncated=truncated,
-        info={"cue_lost": cue_lost, "cleared": cleared},
-    )
 
-    # in-graph auto-reset, plane-space (fresh rack + jitter per world).
-    # Key tree mirrors the mixin path exactly: split(key) -> (reset, carry);
-    # reset_fn splits again -> (jitter, state) keys.
-    keys = jax.vmap(jax.random.split)(ps.key)  # [B, 2, 2]
-    rkeys, carry_keys = keys[:, 0], keys[:, 1]
+def _bl_plane_obs(self, s, potted):
+    n = self.n_balls
+    rows = []
+    for i in range(n):
+        rows.extend([s.px[i], s.py[i], s.vx[i], s.vy[i], potted[i]])
+    return jnp.stack(rows, axis=-1)  # [B, 5n]
+
+
+def _bl_plane_fresh(self, rkeys):
+    """Fresh rack + jitter; reset_fn's key tree: split -> (jitter, state)."""
+    n = self.n_balls
+    B = rkeys.shape[0]
     jkeys = jax.vmap(jax.random.split)(rkeys)[:, 0]
     jit2 = jax.vmap(
-        lambda k: jax.random.uniform(k, (self.n_balls, 2), minval=-0.002, maxval=0.002)
+        lambda k: jax.random.uniform(k, (n, 2), minval=-0.002, maxval=0.002)
     )(jkeys)  # [B, n, 2]
     ipx, ipy, _ivx, _ivy, iang, _iom = (
         jnp.asarray(x) for x in self._init_planes_np
     )  # [n_bodies, 1] init planes
-    dm = done[None, :]
-    fresh_px = ipx + jnp.zeros_like(s.px)
-    fresh_py = ipy + jnp.zeros_like(s.py)
+    nb = ipx.shape[0]
+    fresh_px = ipx + jnp.zeros((nb, B), ipx.dtype)
+    fresh_py = ipy + jnp.zeros((nb, B), ipy.dtype)
     fresh_px = fresh_px.at[:n].add(jnp.swapaxes(jit2[..., 0], 0, 1))
     fresh_py = fresh_py.at[:n].add(jnp.swapaxes(jit2[..., 1], 0, 1))
-    s_out = _SoA(
-        px=jnp.where(dm, fresh_px, s.px),
-        py=jnp.where(dm, fresh_py, s.py),
-        vx=jnp.where(dm, 0.0, s.vx),
-        vy=jnp.where(dm, 0.0, s.vy),
-        angle=jnp.where(dm, iang, s.angle),
-        omega=jnp.where(dm, 0.0, s.omega),
+    fresh_s = _SoA(
+        px=fresh_px, py=fresh_py, vx=0.0, vy=0.0, angle=iang, omega=0.0
     )
-    out = BilliardsPlanes(
-        s=s_out,
-        potted=jnp.where(dm, 0.0, potted),
-        t=jnp.where(done, 0, t_new),
-        key=carry_keys,
-    )
-    return out, ts
+    return fresh_s, 0.0
 
 
-def _bl_rollout_batch(self, states, policy_fn, n_steps, policy_params=None,
-                      max_chunk=None):
-    from parallax_tpu.parallel.rollout import chunked_rollout
-
-    def one_wave(chunk_states):
-        ps = self._to_planes(chunk_states)
-
-        def f(ps, _):
-            obs = self._obs_planes(ps)
-            actions = policy_fn(policy_params, obs)
-            ps, ts = self._step_planes(ps, actions)
-            return ps, ts
-
-        ps, traj = jax.lax.scan(f, ps, None, length=n_steps)
-        return self._from_planes(ps), traj
-
-    return chunked_rollout(one_wave, states, n_steps, states.t.shape[0], max_chunk)
-
-
-Billiards._to_planes = _bl_to_planes
-Billiards._from_planes = _bl_from_planes
-Billiards._obs_planes = _bl_obs_planes
-Billiards._step_planes = _bl_step_planes
-Billiards.rollout_batch = _bl_rollout_batch
+Billiards.plane_pack = _bl_plane_pack
+Billiards.plane_make_state = _bl_plane_make_state
+Billiards.plane_pre = _bl_plane_pre
+Billiards.plane_post = _bl_plane_post
+Billiards.plane_obs = _bl_plane_obs
+Billiards.plane_fresh = _bl_plane_fresh

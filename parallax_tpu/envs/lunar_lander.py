@@ -30,6 +30,7 @@ from parallax_tpu.dynamics.bodies import BodyState
 from parallax_tpu.dynamics.joints import Joints
 from parallax_tpu.engine.world import BodyDef, World, WorldConfig
 from parallax_tpu.envs.base import BatchedEnvironmentMixin, Environment, TimeStep
+from parallax_tpu.envs.plane_env import PlaneEnvMixin
 from parallax_tpu.geometry.math import order_clockwise, rotate, safe_norm
 from parallax_tpu.geometry.shapes import MAX_VERTS, polygon
 
@@ -183,7 +184,7 @@ def terrain_vertices(key) -> jnp.ndarray:
     return quads[:, pad_idx, :]
 
 
-class LunarLander(BatchedEnvironmentMixin, Environment):
+class LunarLander(PlaneEnvMixin, BatchedEnvironmentMixin, Environment):
     def __init__(self, config: LanderConfig = LanderConfig()):
         self.config = config
         if config.use_pallas_fused and config.broadphase:
@@ -363,16 +364,9 @@ class LunarLander(BatchedEnvironmentMixin, Environment):
 
         # initial-state planes for in-graph resets (broadcast [n, 1] consts)
         ib = self._init_bodies
-        from parallax_tpu.engine.batched import _SoA as _SoA_
+        from parallax_tpu.envs.plane_env import init_planes_of
 
-        self._init_planes = _SoA_(
-            px=jnp.asarray(ib.pos[:, 0])[:, None],
-            py=jnp.asarray(ib.pos[:, 1])[:, None],
-            vx=jnp.asarray(ib.vel[:, 0])[:, None],
-            vy=jnp.asarray(ib.vel[:, 1])[:, None],
-            angle=jnp.asarray(ib.angle)[:, None],
-            omega=jnp.asarray(ib.omega)[:, None],
-        )
+        self._init_planes = init_planes_of(ib)
         px0, py0 = float(ib.pos[0, 0]), float(ib.pos[0, 1])
         self._init_shaping = (
             -float(np.sqrt(px0 * px0 + (py0 - (PAD_Y + 1.0)) ** 2))
@@ -769,49 +763,44 @@ LunarLander.reset_fn_batch = _lander_reset_fn_batch
 
 from typing import NamedTuple as _NamedTuple  # noqa: E402
 
-from parallax_tpu.engine.batched import _SoA, _from_soa, _to_soa, physics_core  # noqa: E402
+from parallax_tpu.engine.batched import _SoA, physics_core  # noqa: E402
 
 
-class LanderPlanes(_NamedTuple):
-    s: _SoA  # [n, B] body planes
+class LanderAux(_NamedTuple):
+    """Env-specific plane aux for the generic driver (envs/plane_env.py)."""
+
     tox: jnp.ndarray  # [7, V, B] terrain x
     toy: jnp.ndarray  # [7, V, B] terrain y
-    t: jnp.ndarray  # [B] i32
-    key: jnp.ndarray  # [B, 2] uint32
     prev_shaping: jnp.ndarray  # [B]
     lc: jnp.ndarray  # [2, B] previous-step leg contact flags (f32)
 
 
-def _lander_to_planes(self, states: LanderState) -> LanderPlanes:
+def _lander_plane_pack(self, states: LanderState) -> LanderAux:
     B = states.t.shape[0]
     tflat = jnp.swapaxes(states.terrain, 0, 1)
     tp = tflat.reshape(N_TERRAIN, MAX_VERTS, 2, B)
-    return LanderPlanes(
-        s=_to_soa(states.bodies),
+    return LanderAux(
         tox=tp[:, :, 0, :],
         toy=tp[:, :, 1, :],
-        t=states.t,
-        key=states.key,
         prev_shaping=states.prev_shaping,
         lc=jnp.swapaxes(states.leg_contacts, 0, 1),
     )
 
 
-def _lander_from_planes(self, ps: LanderPlanes) -> LanderState:
-    B = ps.t.shape[0]
-    terrain = jnp.stack([ps.tox, ps.toy], axis=2)  # [7, V, 2, B]
+def _lander_plane_make_state(self, bodies, aux: LanderAux, t, key) -> LanderState:
+    B = t.shape[0]
+    terrain = jnp.stack([aux.tox, aux.toy], axis=2)  # [7, V, 2, B]
     return LanderState(
-        bodies=_from_soa(ps.s),
+        bodies=bodies,
         terrain=jnp.transpose(terrain, (3, 0, 1, 2)).reshape(B, -1),
-        t=ps.t,
-        key=ps.key,
-        prev_shaping=ps.prev_shaping,
-        leg_contacts=jnp.swapaxes(ps.lc, 0, 1),
+        t=t,
+        key=key,
+        prev_shaping=aux.prev_shaping,
+        leg_contacts=jnp.swapaxes(aux.lc, 0, 1),
     )
 
 
-def _lander_obs_planes(self, ps: LanderPlanes, left, right):
-    s = ps.s
+def _lander_plane_obs(self, s: _SoA, aux: LanderAux):
     return jnp.stack(
         [
             s.px[0],
@@ -821,8 +810,8 @@ def _lander_obs_planes(self, ps: LanderPlanes, left, right):
             jnp.sin(s.angle[0]),
             jnp.cos(s.angle[0]),
             s.omega[0],
-            left.astype(s.px.dtype),
-            right.astype(s.px.dtype),
+            aux.lc[0].astype(s.px.dtype),
+            aux.lc[1].astype(s.px.dtype),
         ],
         axis=-1,
     )
@@ -856,36 +845,43 @@ def _lander_candidate_override(self, px_pred, tox, toy):
     return override
 
 
-def _lander_step_planes(self, ps: LanderPlanes, actions):
-    """Full env step (thrust + physics + reward/done + auto-reset) entirely
-
-    in the batch-minor frame."""
+def _lander_plane_pre(self, s: _SoA, aux: LanderAux, actions) -> _SoA:
     cfg = self.config
-    B = ps.t.shape[0]
+    B = s.px.shape[-1]
     actions = jnp.asarray(actions, jnp.float32).reshape(B, 2)
     main = jnp.clip(actions[:, 0], 0.0, 1.0)
     side = jnp.clip(actions[:, 1], -1.0, 1.0)
-
-    s = ps.s
     c0, s0 = jnp.cos(s.angle[0]), jnp.sin(s.angle[0])
     dvx = -s0 * (cfg.main_power * main * cfg.dt) + c0 * (cfg.side_power * side * cfg.dt)
     dvy = c0 * (cfg.main_power * main * cfg.dt) + s0 * (cfg.side_power * side * cfg.dt)
-    s = s._replace(
+    return s._replace(
         vx=s.vx.at[0].add(dvx),
         vy=s.vy.at[0].add(dvy),
         omega=s.omega.at[0].add(-cfg.side_torque * side * cfg.dt),
     )
 
+
+def _lander_plane_physics(self, s: _SoA, aux: LanderAux):
+    cfg = self.config
     if self._use_candidates:
         # predicted collide-time x: positions integrate by exactly vx*dt
         # (reference integrator order) before the narrow phase
         px_pred = s.px[:3] + s.vx[:3] * cfg.dt
-        override = self._candidate_override(px_pred, ps.tox, ps.toy)
+        override = self._candidate_override(px_pred, aux.tox, aux.toy)
     else:
         override = {
-            p: (ps.tox[i], ps.toy[i]) for i, p in enumerate(self._ground_parts)
+            p: (aux.tox[i], aux.toy[i]) for i, p in enumerate(self._ground_parts)
         }
-    s, con = physics_core(self._bm_world, s, terrain_override=override)
+    return physics_core(self._bm_world, s, terrain_override=override)
+
+
+def _lander_plane_post(self, s: _SoA, aux: LanderAux, con, actions, t_new):
+    cfg = self.config
+    B = s.px.shape[-1]
+    actions = jnp.asarray(actions, jnp.float32).reshape(B, 2)
+    main = jnp.clip(actions[:, 0], 0.0, 1.0)
+    side = jnp.clip(actions[:, 1], -1.0, 1.0)
+
     s = s._replace(omega=s.omega * self._omega_damp[:, None])
 
     act = con.active
@@ -897,7 +893,6 @@ def _lander_step_planes(self, ps: LanderPlanes, actions):
         else jnp.zeros(B, bool)
     )
 
-    t_new = ps.t + 1
     px, py = s.px[0], s.py[0]
     vx, vy = s.vx[0], s.vy[0]
     ang, om = s.angle[0], s.omega[0]
@@ -918,108 +913,38 @@ def _lander_step_planes(self, ps: LanderPlanes, actions):
         | (py < cfg.out_y)
         | (jnp.abs(ang) > cfg.crash_tilt)
     )
-    truncated = t_new >= cfg.max_steps
     reward = (
         shaping
-        - ps.prev_shaping
+        - aux.prev_shaping
         - cfg.fuel_cost_main * main
         - cfg.fuel_cost_side * jnp.abs(side)
         + jnp.where(landed, cfg.landed_bonus, 0.0)
         + jnp.where(crashed, cfg.crash_penalty, 0.0)
     )
-
-    # NaN watchdog on the body planes
-    finite = (
-        jnp.isfinite(s.px).all(0)
-        & jnp.isfinite(s.py).all(0)
-        & jnp.isfinite(s.vx).all(0)
-        & jnp.isfinite(s.vy).all(0)
-        & jnp.isfinite(s.angle).all(0)
-        & jnp.isfinite(s.omega).all(0)
-    )
     terminated = landed | crashed
-    truncated = (truncated & ~terminated) | ~finite
-    done = terminated | truncated
-
     lc_new = jnp.stack([left, right]).astype(s.px.dtype)  # [2, B]
-    obs = self._obs_planes(
-        LanderPlanes(s, ps.tox, ps.toy, t_new, ps.key, shaping, lc_new),
-        left, right,
-    )
-    ts = TimeStep(
-        obs=obs,
-        reward=reward,
-        terminated=terminated,
-        truncated=truncated,
-        info={"landed": landed, "crashed": crashed},
-    )
+    aux = LanderAux(tox=aux.tox, toy=aux.toy, prev_shaping=shaping, lc=lc_new)
+    info = {"landed": landed, "crashed": crashed}
+    return s, aux, reward, terminated, info
 
-    # in-graph auto-reset, plane-space
-    keys = jax.vmap(jax.random.split)(ps.key)  # [B, 2, 2]
-    rkeys2 = jax.vmap(jax.random.split)(keys[:, 0])
-    tkeys, _ = rkeys2[:, 0], rkeys2[:, 1]
-    carry_keys = keys[:, 1]
+
+def _lander_plane_fresh(self, rkeys):
+    tkeys = jax.vmap(jax.random.split)(rkeys)[:, 0]
     ftox, ftoy = terrain_planes_batch(tkeys)
-    init = self._init_planes  # ([n] tuples of floats) -> broadcast
-    dm = done[None, :]
-    s_out = _SoA(
-        px=jnp.where(dm, init.px, s.px),
-        py=jnp.where(dm, init.py, s.py),
-        vx=jnp.where(dm, init.vx, s.vx),
-        vy=jnp.where(dm, init.vy, s.vy),
-        angle=jnp.where(dm, init.angle, s.angle),
-        omega=jnp.where(dm, init.omega, s.omega),
-    )
-    dm3 = done[None, None, :]
-    tox_out = jnp.where(dm3, ftox, ps.tox)
-    toy_out = jnp.where(dm3, ftoy, ps.toy)
     # fresh prev_shaping for reset worlds (no leg contact at spawn)
-    init_shaping = self._init_shaping
-    out = LanderPlanes(
-        s=s_out,
-        tox=tox_out,
-        toy=toy_out,
-        t=jnp.where(done, 0, t_new),
-        key=carry_keys,
-        prev_shaping=jnp.where(done, init_shaping, shaping),
-        lc=jnp.where(done[None, :], 0.0, lc_new),
+    return self._init_planes, LanderAux(
+        tox=ftox, toy=ftoy, prev_shaping=self._init_shaping, lc=0.0
     )
-    return out, ts
 
 
-def _lander_rollout_batch(self, states, policy_fn, n_steps, policy_params=None,
-                          max_chunk=None):
-    """Plane-space batched rollout: (final_states, TimeStep trajectory).
-
-    ``policy_fn(params, obs[B, obs_dim]) -> actions [B, 2]``.  Batches
-    larger than ``max_chunk`` (default ``parallel.rollout.ROLLOUT_CHUNK``)
-    run as sequential waves — see :func:`chunked_rollout`.
-    """
-    from parallax_tpu.parallel.rollout import chunked_rollout
-
-    def one_wave(chunk_states):
-        ps = self._to_planes(chunk_states)
-
-        def f(ps, _):
-            # policy sees the previous step's leg contacts — identical to
-            # acting on the TimeStep.obs stream (and to env.observe(state))
-            obs = self._obs_planes(ps, ps.lc[0].astype(bool), ps.lc[1].astype(bool))
-            actions = policy_fn(policy_params, obs)
-            ps, ts = self._step_planes(ps, actions)
-            return ps, ts
-
-        ps, traj = jax.lax.scan(f, ps, None, length=n_steps)
-        return self._from_planes(ps), traj
-
-    return chunked_rollout(one_wave, states, n_steps, states.t.shape[0], max_chunk)
-
-
-LunarLander._to_planes = _lander_to_planes
-LunarLander._from_planes = _lander_from_planes
-LunarLander._obs_planes = _lander_obs_planes
 LunarLander._candidate_override = _lander_candidate_override
-LunarLander._step_planes = _lander_step_planes
-LunarLander.rollout_batch = _lander_rollout_batch
+LunarLander.plane_pack = _lander_plane_pack
+LunarLander.plane_make_state = _lander_plane_make_state
+LunarLander.plane_obs = _lander_plane_obs
+LunarLander.plane_pre = _lander_plane_pre
+LunarLander.plane_physics = _lander_plane_physics
+LunarLander.plane_post = _lander_plane_post
+LunarLander.plane_fresh = _lander_plane_fresh
 
 
 # ---------------------------------------------------------------------------

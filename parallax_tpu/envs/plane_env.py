@@ -1,0 +1,189 @@
+"""Generic plane-space env driver — one scan serves every env.
+
+Round-2 review finding: each env hand-wrote its batch-minor fast path
+three times (pack/unpack, step-with-auto-reset, chunked rollout), ~150
+bespoke lines per env whose equivalence to the vmapped path was maintained
+only by per-env tests.  The reference serves every world from one resolve
+path (/root/reference/cotix/_colliders.py:76); parallax now serves every
+env from this one plane-space scan driver, parameterized by hooks.
+
+An env opts in by inheriting :class:`PlaneEnvMixin` and defining:
+
+* ``plane_post(s, aux, con, actions, t_new)`` -> ``(s, aux, reward,
+  terminated, info)`` — damping, reward, termination (REQUIRED);
+* ``plane_make_state(bodies, aux, t, key)`` — rebuild its state pytree
+  (REQUIRED — the only structural hook);
+
+and optionally overrides:
+
+* ``plane_pack(states)`` -> aux pytree of batch-minor ``[..., B]`` leaves
+  (default: no aux);
+* ``plane_pre(s, aux, actions)`` — thrust / command injection (default:
+  identity);
+* ``plane_physics(s, aux)`` — the physics call (default:
+  ``physics_core(self.world, s)``; override for terrain overrides or a
+  candidate world);
+* ``plane_obs(s, aux)`` — observation (default: all body planes stacked);
+* ``plane_fresh(rkeys)`` -> ``(fresh_s, fresh_aux)`` — reset regeneration
+  (default: broadcast ``self._init_planes``, aux unchanged shape of
+  zeros-like via same structure — envs with aux must override).
+
+Everything else — the scan, the NaN watchdog, step-limit truncation, the
+auto-reset key tree (``split(key) -> (reset, carry)``, matching
+``BatchedEnvironmentMixin.step_batch`` bit-for-bit), the done-merge of
+fresh vs live planes, and chunked large-batch waves — is generic.
+
+A minimal env is ``World.build`` plus a reward: see ``envs/bouncer.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from parallax_tpu.dynamics.bodies import BodyState
+from parallax_tpu.engine.batched import _SoA, _from_soa, _to_soa, physics_core
+from parallax_tpu.envs.base import TimeStep
+
+
+class PlaneState(NamedTuple):
+    """Generic batch-minor carrier: body planes + env aux + bookkeeping."""
+
+    s: _SoA  # [n_bodies, B] body planes
+    aux: Any  # env-specific plane pytree ([..., B]-minor leaves)
+    t: jnp.ndarray  # [B] i32
+    key: jnp.ndarray  # [B, 2] uint32
+
+
+def init_planes_of(bodies: BodyState) -> _SoA:
+    """[n]-shaped initial body state -> [n, 1] broadcastable init planes."""
+    return _SoA(
+        px=jnp.asarray(bodies.pos[:, 0])[:, None],
+        py=jnp.asarray(bodies.pos[:, 1])[:, None],
+        vx=jnp.asarray(bodies.vel[:, 0])[:, None],
+        vy=jnp.asarray(bodies.vel[:, 1])[:, None],
+        angle=jnp.asarray(bodies.angle)[:, None],
+        omega=jnp.asarray(bodies.omega)[:, None],
+    )
+
+
+def _where_done(done, fresh, cur):
+    """tree-select fresh where done, broadcasting [B] over [..., B] leaves."""
+
+    def f(fr, cu):
+        d = done.reshape((1,) * (cu.ndim - 1) + (-1,))
+        return jnp.where(d, fr, cu)
+
+    return jax.tree.map(f, fresh, cur)
+
+
+class PlaneEnvMixin:
+    """Generic plane-space fast path; see module docstring for the hooks."""
+
+    # -- hooks with defaults --------------------------------------------------
+
+    def plane_pack(self, states):
+        return ()
+
+    def plane_pre(self, s: _SoA, aux, actions) -> _SoA:
+        return s
+
+    def plane_physics(self, s: _SoA, aux):
+        return physics_core(self.world, s)
+
+    def plane_obs(self, s: _SoA, aux):
+        # default: every body plane, plane-major — [B, 6 * n_bodies]
+        rows = jnp.stack(tuple(s))  # [6, n, B]
+        return rows.reshape(-1, rows.shape[-1]).T
+
+    def plane_fresh(self, rkeys):
+        return self._init_planes, ()
+
+    def plane_make_state(self, bodies, aux, t, key):
+        raise NotImplementedError
+
+    def plane_post(self, s, aux, con, actions, t_new):
+        raise NotImplementedError
+
+    @property
+    def plane_max_steps(self) -> int:
+        return self.config.max_steps
+
+    # -- generic machinery ----------------------------------------------------
+
+    def _to_planes(self, states) -> PlaneState:
+        return PlaneState(
+            s=_to_soa(states.bodies),
+            aux=self.plane_pack(states),
+            t=states.t,
+            key=states.key,
+        )
+
+    def _from_planes(self, ps: PlaneState):
+        return self.plane_make_state(_from_soa(ps.s), ps.aux, ps.t, ps.key)
+
+    def _step_planes(self, ps: PlaneState, actions):
+        """pre -> physics -> post -> watchdog/limits -> obs -> auto-reset."""
+        s = self.plane_pre(ps.s, ps.aux, actions)
+        s, con = self.plane_physics(s, ps.aux)
+        t_new = ps.t + 1
+        s, aux, reward, terminated, info = self.plane_post(
+            s, ps.aux, con, actions, t_new
+        )
+
+        # NaN watchdog over every body plane (SURVEY §5 elastic recovery)
+        finite = jnp.ones(ps.t.shape, bool)
+        for leaf in s:
+            finite &= jnp.isfinite(leaf).all(0)
+        truncated = ((t_new >= self.plane_max_steps) & ~terminated) | ~finite
+        done = terminated | truncated
+
+        ts = TimeStep(
+            obs=self.plane_obs(s, aux),
+            reward=reward,
+            terminated=terminated,
+            truncated=truncated,
+            info=info,
+        )
+
+        # in-graph auto-reset; key tree identical to the vmapped mixin path:
+        # split(key) -> (reset-derivation, carry)
+        keys = jax.vmap(jax.random.split)(ps.key)  # [B, 2, 2]
+        rkeys, carry_keys = keys[:, 0], keys[:, 1]
+        fresh_s, fresh_aux = self.plane_fresh(rkeys)
+        out = PlaneState(
+            s=_where_done(done, fresh_s, s),
+            aux=_where_done(done, fresh_aux, aux),
+            t=jnp.where(done, 0, t_new),
+            key=carry_keys,
+        )
+        return out, ts
+
+    def rollout_batch(self, states, policy_fn, n_steps, policy_params=None,
+                      max_chunk=None):
+        """Plane-space batched rollout: (final_states, TimeStep trajectory).
+
+        ``policy_fn(params, obs[B, obs_dim]) -> actions [B, act_dim]``.
+        Batches larger than ``max_chunk`` (default
+        ``parallel.rollout.ROLLOUT_CHUNK``) run as sequential waves — see
+        :func:`parallax_tpu.parallel.rollout.chunked_rollout`.
+        """
+        from parallax_tpu.parallel.rollout import chunked_rollout
+
+        def one_wave(chunk_states):
+            ps = self._to_planes(chunk_states)
+
+            def f(ps, _):
+                obs = self.plane_obs(ps.s, ps.aux)
+                actions = policy_fn(policy_params, obs)
+                ps, ts = self._step_planes(ps, actions)
+                return ps, ts
+
+            ps, traj = jax.lax.scan(f, ps, None, length=n_steps)
+            return self._from_planes(ps), traj
+
+        return chunked_rollout(
+            one_wave, states, n_steps, states.t.shape[0], max_chunk
+        )

@@ -36,6 +36,7 @@ from flax import struct
 from parallax_tpu.dynamics.bodies import BodyState
 from parallax_tpu.engine.world import BodyDef, World, WorldConfig
 from parallax_tpu.envs.base import BatchedEnvironmentMixin, Environment, TimeStep
+from parallax_tpu.envs.plane_env import PlaneEnvMixin
 from parallax_tpu.geometry.shapes import box, circle
 
 FIELD_DIM = (10.4, 7.4)
@@ -97,7 +98,7 @@ class RoboCupState(struct.PyTreeNode):
     key: jnp.ndarray
 
 
-class RoboCup(BatchedEnvironmentMixin, Environment):
+class RoboCup(PlaneEnvMixin, BatchedEnvironmentMixin, Environment):
     """Multi-agent SSL env; blue team (robots 0..N-1) attacks the yellow
 
     goal at -x, yellow team (robots N..2N-1) attacks +x.  Reward is from
@@ -166,17 +167,9 @@ class RoboCup(BatchedEnvironmentMixin, Environment):
         )
         self.world, self._init_bodies = World.build(bodies, wc, collision_filter=filt)
 
-        ib = self._init_bodies
-        from parallax_tpu.engine.batched import _SoA as _SoA_
+        from parallax_tpu.envs.plane_env import init_planes_of
 
-        self._init_planes = _SoA_(
-            px=jnp.asarray(ib.pos[:, 0])[:, None],
-            py=jnp.asarray(ib.pos[:, 1])[:, None],
-            vx=jnp.asarray(ib.vel[:, 0])[:, None],
-            vy=jnp.asarray(ib.vel[:, 1])[:, None],
-            angle=jnp.asarray(ib.angle)[:, None],
-            omega=jnp.asarray(ib.omega)[:, None],
-        )
+        self._init_planes = init_planes_of(self._init_bodies)
 
     # ------------------------------------------------------------------
 
@@ -360,34 +353,57 @@ RoboCup.step_fn_batch = _robocup_step_fn_batch
 
 
 # ---------------------------------------------------------------------------
-# Plane-space rollout (see lunar_lander for the pattern)
+# Plane-space fast path: hooks for the generic driver (envs/plane_env.py)
 # ---------------------------------------------------------------------------
 
-from typing import NamedTuple as _NamedTuple  # noqa: E402
-
-from parallax_tpu.engine.batched import _SoA, _from_soa, _to_soa, physics_core  # noqa: E402
-
-
-class RoboCupPlanes(_NamedTuple):
-    s: _SoA
-    t: jnp.ndarray  # [B]
-    key: jnp.ndarray  # [B, 2]
+def _rc_plane_make_state(self, bodies, aux, t, key):
+    return RoboCupState(bodies=bodies, t=t, key=key)
 
 
-def _rc_to_planes(self, states: RoboCupState) -> RoboCupPlanes:
-    return RoboCupPlanes(s=_to_soa(states.bodies), t=states.t, key=states.key)
+def _rc_plane_pre(self, s, aux, actions):
+    cfg = self.config
+    ri = np.asarray(self.robot_idx)
+    actions = jnp.asarray(actions, jnp.float32).reshape(-1, self.n_robots, 3)
+    vx_cmd = jnp.clip(actions[..., 0], -cfg.robot_max_speed, cfg.robot_max_speed).T
+    vy_cmd = jnp.clip(actions[..., 1], -cfg.robot_max_speed, cfg.robot_max_speed).T
+    w_cmd = jnp.clip(actions[..., 2], -cfg.robot_max_omega, cfg.robot_max_omega).T
+    lim = cfg.robot_max_accel * cfg.dt
+    dvx = jnp.clip(vx_cmd - s.vx[ri], -lim, lim)
+    dvy = jnp.clip(vy_cmd - s.vy[ri], -lim, lim)
+    return s._replace(
+        vx=s.vx.at[ri].add(dvx),
+        vy=s.vy.at[ri].add(dvy),
+        omega=s.omega.at[ri].set(w_cmd),
+    )
 
 
-def _rc_from_planes(self, ps: RoboCupPlanes) -> RoboCupState:
-    return RoboCupState(bodies=_from_soa(ps.s), t=ps.t, key=ps.key)
+def _rc_plane_post(self, s, aux, con, actions, t_new):
+    cfg = self.config
+    bi = self.ball_idx
+    s = s._replace(
+        vx=s.vx.at[bi].multiply(cfg.ball_damping),
+        vy=s.vy.at[bi].multiply(cfg.ball_damping),
+    )
+    bx, by = s.px[bi], s.py[bi]
+    line = PLAY_AREA[0] / 2
+    in_mouth = jnp.abs(by) < GOAL_DIM[1] / 2
+    blue_scored = (bx < -(line + BALL_RADIUS)) & in_mouth
+    yellow_scored = (bx > (line + BALL_RADIUS)) & in_mouth
+    reward = (
+        jnp.where(blue_scored, cfg.goal_reward, 0.0)
+        - jnp.where(yellow_scored, cfg.goal_reward, 0.0)
+        + (-cfg.shaping_coef * bx) * cfg.dt
+    )
+    terminated = blue_scored | yellow_scored
+    info = {"blue_scored": blue_scored, "yellow_scored": yellow_scored}
+    return s, aux, reward, terminated, info
 
 
-def _rc_obs_planes(self, ps: RoboCupPlanes):
-    s = ps.s
+def _rc_plane_obs(self, s, aux):
     bi = self.ball_idx
     ri = np.asarray(self.robot_idx)
     R = len(ri)
-    B = ps.t.shape[0]
+    B = s.px.shape[-1]
     # interleaved [r0x, r0y, r1x, r1y, ...] like bodies.pos[:, ri].reshape(B, -1)
     pos_flat = jnp.stack([s.px[ri], s.py[ri]], axis=1).reshape(2 * R, B).T
     vel_flat = jnp.stack([s.vx[ri], s.vy[ri]], axis=1).reshape(2 * R, B).T
@@ -401,68 +417,11 @@ def _rc_obs_planes(self, ps: RoboCupPlanes):
     )
 
 
-def _rc_step_planes(self, ps: RoboCupPlanes, actions):
+def _rc_plane_fresh(self, rkeys):
     cfg = self.config
-    B = ps.t.shape[0]
-    actions = jnp.asarray(actions, jnp.float32).reshape(B, self.n_robots, 3)
-    ri = np.asarray(self.robot_idx)
     bi = self.ball_idx
-
-    s = ps.s
-    vx_cmd = jnp.clip(actions[..., 0], -cfg.robot_max_speed, cfg.robot_max_speed).T
-    vy_cmd = jnp.clip(actions[..., 1], -cfg.robot_max_speed, cfg.robot_max_speed).T
-    w_cmd = jnp.clip(actions[..., 2], -cfg.robot_max_omega, cfg.robot_max_omega).T
-    lim = cfg.robot_max_accel * cfg.dt
-    dvx = jnp.clip(vx_cmd - s.vx[ri], -lim, lim)
-    dvy = jnp.clip(vy_cmd - s.vy[ri], -lim, lim)
-    s = s._replace(
-        vx=s.vx.at[ri].add(dvx),
-        vy=s.vy.at[ri].add(dvy),
-        omega=s.omega.at[ri].set(w_cmd),
-    )
-
-    s, _con = physics_core(self.world, s)
-    s = s._replace(
-        vx=s.vx.at[bi].multiply(cfg.ball_damping),
-        vy=s.vy.at[bi].multiply(cfg.ball_damping),
-    )
-
-    t_new = ps.t + 1
-    bx, by = s.px[bi], s.py[bi]
-    line = PLAY_AREA[0] / 2
-    in_mouth = jnp.abs(by) < GOAL_DIM[1] / 2
-    blue_scored = (bx < -(line + BALL_RADIUS)) & in_mouth
-    yellow_scored = (bx > (line + BALL_RADIUS)) & in_mouth
-    reward = (
-        jnp.where(blue_scored, cfg.goal_reward, 0.0)
-        - jnp.where(yellow_scored, cfg.goal_reward, 0.0)
-        + (-cfg.shaping_coef * bx) * cfg.dt
-    )
-    terminated = blue_scored | yellow_scored
-    finite = (
-        jnp.isfinite(s.px).all(0)
-        & jnp.isfinite(s.py).all(0)
-        & jnp.isfinite(s.vx).all(0)
-        & jnp.isfinite(s.vy).all(0)
-    )
-    truncated = ((t_new >= cfg.max_steps) & ~terminated) | ~finite
-    done = terminated | truncated
-
-    obs = self._obs_planes(RoboCupPlanes(s, t_new, ps.key))
-    ts = TimeStep(
-        obs=obs,
-        reward=reward,
-        terminated=terminated,
-        truncated=truncated,
-        info={"blue_scored": blue_scored, "yellow_scored": yellow_scored},
-    )
-
-    # auto-reset (plane-space): fresh = initial bodies + randomized ball dir
-    keys = jax.vmap(jax.random.split)(ps.key)
-    rkeys = keys[:, 0]
-    carry = keys[:, 1]
-    rsplit = jax.vmap(jax.random.split)(rkeys)
-    bkeys = rsplit[:, 0]
+    B = rkeys.shape[0]
+    bkeys = jax.vmap(jax.random.split)(rkeys)[:, 0]
     init = self._init_planes
     if cfg.randomize_ball:
         ang = jax.vmap(
@@ -470,47 +429,18 @@ def _rc_step_planes(self, ps: RoboCupPlanes, actions):
         )(bkeys)
         bvx, bvy = jnp.cos(ang), jnp.sin(ang)
     else:
-        bvx = jnp.full((B,), float(self._init_bodies.vel[self.ball_idx, 0]))
-        bvy = jnp.full((B,), float(self._init_bodies.vel[self.ball_idx, 1]))
+        bvx = jnp.full((B,), float(self._init_bodies.vel[bi, 0]))
+        bvy = jnp.full((B,), float(self._init_bodies.vel[bi, 1]))
     fvx = jnp.broadcast_to(init.vx, (init.vx.shape[0], B)).at[bi].set(bvx)
     fvy = jnp.broadcast_to(init.vy, (init.vy.shape[0], B)).at[bi].set(bvy)
-    dm = done[None, :]
-    s_out = _SoA(
-        px=jnp.where(dm, init.px, s.px),
-        py=jnp.where(dm, init.py, s.py),
-        vx=jnp.where(dm, fvx, s.vx),
-        vy=jnp.where(dm, fvy, s.vy),
-        angle=jnp.where(dm, init.angle, s.angle),
-        omega=jnp.where(dm, init.omega, s.omega),
-    )
-    out = RoboCupPlanes(s=s_out, t=jnp.where(done, 0, t_new), key=carry)
-    return out, ts
+    return init._replace(vx=fvx, vy=fvy), ()
 
 
-def _rc_rollout_batch(self, states, policy_fn, n_steps, policy_params=None,
-                      max_chunk=None):
-    from parallax_tpu.parallel.rollout import chunked_rollout
-
-    def one_wave(chunk_states):
-        ps = self._to_planes(chunk_states)
-
-        def f(ps, _):
-            obs = self._obs_planes(ps)
-            actions = policy_fn(policy_params, obs)
-            ps, ts = self._step_planes(ps, actions)
-            return ps, ts
-
-        ps, traj = jax.lax.scan(f, ps, None, length=n_steps)
-        return self._from_planes(ps), traj
-
-    return chunked_rollout(one_wave, states, n_steps, states.t.shape[0], max_chunk)
-
-
-RoboCup._to_planes = _rc_to_planes
-RoboCup._from_planes = _rc_from_planes
-RoboCup._obs_planes = _rc_obs_planes
-RoboCup._step_planes = _rc_step_planes
-RoboCup.rollout_batch = _rc_rollout_batch
+RoboCup.plane_make_state = _rc_plane_make_state
+RoboCup.plane_pre = _rc_plane_pre
+RoboCup.plane_post = _rc_plane_post
+RoboCup.plane_obs = _rc_plane_obs
+RoboCup.plane_fresh = _rc_plane_fresh
 
 
 # ---------------------------------------------------------------------------
