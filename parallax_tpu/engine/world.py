@@ -75,9 +75,9 @@ class WorldConfig:
     # backend — silently falls back otherwise)
     use_pallas_solver: bool = False
     # run the ENTIRE physics step (collide + solve + joints) as one Pallas
-    # kernel — polygon-only worlds, batched path; contact geometry is not
-    # exported (only per-lane activity), so envs needing penetration data
-    # should keep this off
+    # kernel — pp/cc/cb/bb/area_cb pair groups, batched path; contact
+    # geometry is not exported (only per-lane activity), so envs needing
+    # penetration data should keep this off
     use_pallas_fused: bool = False
 
 

@@ -66,6 +66,9 @@ class BilliardsConfig:
     living_cost: float = 0.001
     solver_iterations: int = 4
     position_iterations: int = 2
+    # run the whole physics step as one fused Pallas kernel (cc/cb pair
+    # groups — supported since round 3); requires batch % TILE_B == 0
+    use_pallas_fused: bool = False
 
 
 class BilliardsState(struct.PyTreeNode):
@@ -157,7 +160,8 @@ class Billiards(PlaneEnvMixin, Environment, BatchedEnvironmentMixin):
             integrator="symplectic",
             solver_iterations=config.solver_iterations,
             position_iterations=config.position_iterations,
-            use_pallas_solver=True,
+            use_pallas_solver=not config.use_pallas_fused,
+            use_pallas_fused=config.use_pallas_fused,
         )
         self.world, self._init_bodies = World.build(balls + walls, wc)
         self.n_balls = n

@@ -90,6 +90,9 @@ class RoboCupConfig:
     narrowphase: str = "sat"
     broadphase: bool = True
     contact: object = None  # Optional[ContactSolverConfig]; None = default
+    # run the whole physics step as one fused Pallas kernel (cc/cb/area_cb
+    # pair groups — supported since round 3); requires batch % TILE_B == 0
+    use_pallas_fused: bool = False
 
 
 class RoboCupState(struct.PyTreeNode):
@@ -163,7 +166,8 @@ class RoboCup(PlaneEnvMixin, BatchedEnvironmentMixin, Environment):
             solver_mode=config.solver_mode,
             solver_iterations=config.solver_iterations,
             position_iterations=config.position_iterations,
-            use_pallas_solver=True,
+            use_pallas_solver=not config.use_pallas_fused,
+            use_pallas_fused=config.use_pallas_fused,
         )
         self.world, self._init_bodies = World.build(bodies, wc, collision_filter=filt)
 

@@ -1,15 +1,17 @@
-"""Fused Pallas TPU step kernel for polygon-only worlds.
+"""Fused Pallas TPU step kernel.
 
 One kernel launch per world-tile runs the ENTIRE physics step in VMEM:
 
-    integrate + gravity -> world vertices -> SAT manifold narrow phase ->
-    sequential-impulse solve (via ops.pallas_solver.solve_arrays) ->
+    integrate + gravity -> world vertices -> narrow phase (SAT manifolds
+    for pp groups; analytic circle/box lane kernels for cc/cb/bb/area_cb)
+    -> sequential-impulse solve (via ops.pallas_solver.solve_arrays) ->
     spring-damper joints
 
-Applicable when every pair group uses the polygon-polygon kernel (the
-LunarLander world qualifies: lander/legs/terrain are all polygons);
-``physics_core`` falls back to the split path otherwise.  Static parts may
-carry per-world vertex overrides (terrain planes) supplied as inputs.
+Applicable when every pair group is in ``FUSED_KERNELS`` (LunarLander:
+all-polygon; RoboCup: circles + goal boxes + field area; billiards:
+circles + wall boxes); ``physics_core`` falls back to the split path
+otherwise.  Static parts may carry per-world vertex overrides (terrain
+planes) supplied as inputs.
 
 Like the solver kernel, all lane<->body indexing is static (unrolled loops
 and one-hot MXU matmuls) and the backward pass routes through the JAX
@@ -32,14 +34,22 @@ from parallax_tpu.ops.pallas_solver import TILE_B, _build_operands, solve_arrays
 INF = float("inf")
 
 
+# pair-group kernels the fused step implements (round 3 added the
+# circle/box family so static-geometry worlds — RoboCup, billiards — can
+# fuse; cp/bp and the remaining area kernels still fall back)
+FUSED_KERNELS = ("pp", "cc", "cb", "bb", "area_cb")
+
+
 def supports_fused_step(world) -> bool:
-    return (
-        all(g.kernel == "pp" for g in world.table.groups)
-        and world.config.solver_mode == "block"
-        # the fused kernel has no AABB pre-mask stage; keep bit-exactness
-        # with the split path by only fusing when broadphase is off
-        and not world.config.broadphase
-    )
+    kernels = {g.kernel for g in world.table.groups}
+    if not kernels <= set(FUSED_KERNELS):
+        return False
+    if world.config.solver_mode != "block":
+        return False
+    # the fused kernel has no AABB pre-mask stage.  The split path applies
+    # broadphase only to cp/bp/pp groups (circle/box kernels self-mask), so
+    # bit-exactness requires broadphase off only when a pp group exists.
+    return "pp" not in kernels or not world.config.broadphase
 
 
 def _static_step_info(world, override_parts):
@@ -55,13 +65,22 @@ def _static_step_info(world, override_parts):
         ia, ib = list(g.part_a), list(g.part_b)
         Va = max(parts.nverts[i] for i in ia)
         Vb = max(parts.nverts[i] for i in ib)
+        if g.kernel in ("cc", "cb", "bb", "area_cb"):
+            # circle center row / box (lb, ub) rows only (split path trims
+            # the same way, engine.batched.collide_batched)
+            Va = min(Va, 2)
+            Vb = min(Vb, 2)
         ema = np.stack([edge_mask_for(parts.nverts[i], Va) for i in ia]).astype(
             np.float32
         )
         emb = np.stack([edge_mask_for(parts.nverts[i], Vb) for i in ib]).astype(
             np.float32
         )
-        groups.append(dict(ia=ia, ib=ib, Va=Va, Vb=Vb, ema=ema, emb=emb))
+        groups.append(dict(
+            kernel=g.kernel, ia=ia, ib=ib, Va=Va, Vb=Vb, ema=ema, emb=emb,
+            ra=tuple(float(np.asarray(parts.radius)[i]) for i in ia),
+            rb=tuple(float(np.asarray(parts.radius)[i]) for i in ib),
+        ))
 
     from parallax_tpu.ops.pallas_solver import _joint_rows
 
@@ -71,6 +90,7 @@ def _static_step_info(world, override_parts):
         V=V,
         lv=lv,
         body_of=body_of,
+        kind=tuple(parts.kind),
         movable=movable,
         groups=groups,
         joints=jrows,
@@ -81,14 +101,21 @@ def _static_step_info(world, override_parts):
     )
 
 
-def _world_verts_rows(st, cos_rows, sin_rows, px, py, terrain_x, terrain_y, idx_list):
+def _world_verts_rows(
+    st, cos_rows, sin_rows, px, py, terrain_x, terrain_y, idx_list, vmax=None
+):
     """World-frame vertex planes for the parts in idx_list -> ([G,V,TB] x, y).
 
-    Static unroll per part; override parts read terrain input rows."""
+    Static unroll per part; override parts read terrain input rows.  Boxes
+    translate without rotating (axis-aligned invariant, same as
+    engine.batched._side_verts); circles/polygons rotate."""
+    from parallax_tpu.geometry.shapes import BOX
+
     lv = st["lv"]
     body_of = st["body_of"]
     override = st["override"]
     order = sorted(override)
+    vmax = st["V"] if vmax is None else vmax
     rows_x, rows_y = [], []
     for p in idx_list:
         bo = int(body_of[p])
@@ -96,17 +123,22 @@ def _world_verts_rows(st, cos_rows, sin_rows, px, py, terrain_x, terrain_y, idx_
             k = order.index(p)
             wx = terrain_x[k]  # [V, TB]
             wy = terrain_y[k]
-            rows_x.append(wx)
-            rows_y.append(wy)
+            rows_x.append(wx[:vmax])
+            rows_y.append(wy[:vmax])
             continue
         c = cos_rows[bo]  # [TB]
         sn = sin_rows[bo]
+        is_box = st["kind"][p] == BOX
         vx_rows, vy_rows = [], []
-        for v in range(st["V"]):
+        for v in range(vmax):
             lx = float(lv[p, v, 0])
             ly = float(lv[p, v, 1])
-            vx_rows.append(c * lx - sn * ly + px[bo])
-            vy_rows.append(sn * lx + c * ly + py[bo])
+            if is_box:
+                vx_rows.append(lx + px[bo])
+                vy_rows.append(ly + py[bo])
+            else:
+                vx_rows.append(c * lx - sn * ly + px[bo])
+                vy_rows.append(sn * lx + c * ly + py[bo])
         rows_x.append(jnp.stack(vx_rows))
         rows_y.append(jnp.stack(vy_rows))
     return jnp.stack(rows_x), jnp.stack(rows_y)
@@ -322,20 +354,55 @@ def _step_kernel(
     terrain_y = ty_ref[:].reshape(n_terrain, V, TB) if n_terrain else None
     masks = masks_ref[:]  # [n_groups_masks_rows, Vmax]
 
+    # circle/box analytic lane kernels: the engine's batch-minor planes
+    # implementations are pure 2-D elementwise jnp and lower through Mosaic
+    # as-is — importing them guarantees bitwise parity with the split path
+    from parallax_tpu.engine.batched import _area_cb_bm, _bb_bm, _cb_bm, _cc_bm
+
+    def _radius_planes(rs):
+        return jnp.stack([jnp.full((TB,), r, px.dtype) for r in rs])
+
     pen_x_parts, pen_y_parts, pt_x_parts, pt_y_parts, act_parts = [], [], [], [], []
     for gi, g in enumerate(st["groups"]):
         ax, ay = _world_verts_rows(
-            st, cos_rows, sin_rows, px, py, terrain_x, terrain_y, g["ia"]
+            st, cos_rows, sin_rows, px, py, terrain_x, terrain_y, g["ia"],
+            vmax=g["Va"],
         )
         bx, by = _world_verts_rows(
-            st, cos_rows, sin_rows, px, py, terrain_x, terrain_y, g["ib"]
+            st, cos_rows, sin_rows, px, py, terrain_x, terrain_y, g["ib"],
+            vmax=g["Vb"],
         )
-        ax, ay = ax[:, : g["Va"], :], ay[:, : g["Va"], :]
-        bx, by = bx[:, : g["Vb"], :], by[:, : g["Vb"], :]
-        (sa, ea), (sb, eb) = mask_slices[gi]
-        ema = masks[sa:ea, : g["Va"]]
-        emb = masks[sb:eb, : g["Vb"]]
-        penx, peny, ptx, pty, act = _pp_manifold_arrays(ax, ay, ema, bx, by, emb)
+        kern = g["kernel"]
+        if kern == "pp":
+            (sa, ea), (sb, eb) = mask_slices[gi]
+            ema = masks[sa:ea, : g["Va"]]
+            emb = masks[sb:eb, : g["Vb"]]
+            penx, peny, ptx, pty, act = _pp_manifold_arrays(ax, ay, ema, bx, by, emb)
+        else:
+            ra = _radius_planes(g["ra"])
+            rb = _radius_planes(g["rb"])
+            if kern == "cc":
+                penx, peny, ptx, pty, act = _cc_bm(
+                    ax[:, 0, :], ay[:, 0, :], ra, bx[:, 0, :], by[:, 0, :], rb
+                )
+            elif kern == "cb":
+                penx, peny, ptx, pty, act = _cb_bm(
+                    ax[:, 0, :], ay[:, 0, :], ra,
+                    bx[:, 0, :], by[:, 0, :], bx[:, 1, :], by[:, 1, :],
+                )
+            elif kern == "bb":
+                penx, peny, ptx, pty, act = _bb_bm(
+                    ax[:, 0, :], ay[:, 0, :], ax[:, 1, :], ay[:, 1, :],
+                    bx[:, 0, :], by[:, 0, :], bx[:, 1, :], by[:, 1, :],
+                )
+            elif kern == "area_cb":
+                penx, peny, ptx, pty, act = _area_cb_bm(
+                    ax[:, 0, :], ay[:, 0, :], ra,
+                    bx[:, 0, :], by[:, 0, :], bx[:, 1, :], by[:, 1, :],
+                )
+            else:  # pragma: no cover — supports_fused_step gates this
+                raise ValueError(kern)
+            act = act.astype(ax.dtype)
         pen_x_parts.append(penx)
         pen_y_parts.append(peny)
         pt_x_parts.append(ptx)

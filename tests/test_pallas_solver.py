@@ -226,3 +226,64 @@ def test_build_operands_any_partner_flag():
 
     assert _build_operands(LunarLander().world)["any_partner"] is True
     assert _build_operands(Billiards().world)["any_partner"] is False
+
+
+def _overlap_state(env, B, key, edge_x, spacing, y_step):
+    """Reset states jittered into guaranteed overlaps: pile the dynamic
+    bodies on top of each other near the +x arena edge so circle-circle,
+    circle-wall and area-containment lanes all fire."""
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(key), B))
+    s = _to_soa(states.bodies)
+    n = s.px.shape[0]
+    jit_x = 0.01 * jnp.sin(jnp.arange(B, dtype=jnp.float32))[None]
+    jit_y = 0.01 * jnp.cos(jnp.arange(B, dtype=jnp.float32))[None]
+    rows = jnp.arange(n, dtype=jnp.float32)[:, None]
+    static = jnp.asarray([1.0 if b else 0.0 for b in env.world.static_bodies])[:, None]
+    px = edge_x - spacing * rows + jit_x
+    py = y_step * rows - y_step * n / 2 + jit_y
+    vx = 0.5 - 0.1 * rows
+    vy = 0.3 - 0.05 * rows
+    return s._replace(
+        px=jnp.where(static > 0, s.px, px),
+        py=jnp.where(static > 0, s.py, py),
+        vx=jnp.where(static > 0, s.vx, vx),
+        vy=jnp.where(static > 0, s.vy, vy),
+    )
+
+
+def test_fused_step_kernel_circle_box_worlds():
+    """Round-3 extension: the fused kernel on cc/cb/bb/area_cb pair groups
+    (RoboCup: circles + goal boxes + box area; billiards: circles + wall
+    boxes) matches physics_core bit-for-bit in interpreter mode."""
+    from parallax_tpu.engine.batched import physics_core
+    from parallax_tpu.ops.pallas_step import (
+        physics_core_pallas,
+        supports_fused_step,
+    )
+    from parallax_tpu.envs.billiards import Billiards
+    from parallax_tpu.envs.robocup import RoboCup
+
+    B = TILE_B
+    # edge_x at the arena's +x boundary so wall/area lanes fire too
+    for env, key, edge_x, spacing, y_step in (
+        (RoboCup(), 2, 5.15, 0.07, 0.05),
+        (Billiards(), 3, 1.0, 0.03, 0.02),
+    ):
+        world = env.world
+        kernels = {g.kernel for g in world.table.groups}
+        assert kernels & {"cc", "cb"}, kernels  # the new fused family
+        assert supports_fused_step(world), kernels
+        s = _overlap_state(env, B, key, edge_x, spacing, y_step)
+        ref_s, ref_c = jax.jit(lambda s, w=world: physics_core(w, s))(s)
+        got_s, got_c = jax.jit(
+            lambda s, w=world: physics_core_pallas(w, s, interpret=True)
+        )(s)
+        for f in ("px", "py", "vx", "vy", "angle", "omega"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(ref_s, f)), np.asarray(getattr(got_s, f)),
+                atol=1e-5, err_msg=f"{type(env).__name__}.{f}",
+            )
+        np.testing.assert_array_equal(
+            np.asarray(ref_c.active), np.asarray(got_c.active)
+        )
+        assert int(np.asarray(ref_c.active).sum()) > 0

@@ -53,13 +53,24 @@ def bench(env):
 
 
 def main():
+    from parallax_tpu.envs.billiards import Billiards, BilliardsConfig
+    from parallax_tpu.envs.robocup import RoboCup, RoboCupConfig
+
     cases = [
-        ("split+bp", LanderConfig()),
-        ("split   ", LanderConfig(broadphase=False)),
-        ("fused   ", LanderConfig(broadphase=False, use_pallas_fused=True)),
+        ("lander    split+bp", LunarLander(LanderConfig())),
+        ("lander    split   ", LunarLander(LanderConfig(broadphase=False))),
+        ("lander    fused   ",
+         LunarLander(LanderConfig(broadphase=False, use_pallas_fused=True))),
+        # circle/box worlds (round-3 fused family): broadphase never touches
+        # their kernels, so the default config is the fair split baseline
+        ("robocup   split   ", RoboCup(RoboCupConfig())),
+        ("robocup   fused   ", RoboCup(RoboCupConfig(use_pallas_fused=True))),
+        ("billiards split   ", Billiards(BilliardsConfig())),
+        ("billiards fused   ",
+         Billiards(BilliardsConfig(use_pallas_fused=True))),
     ]
-    for name, cfg in cases:
-        rate = bench(LunarLander(cfg))
+    for name, env in cases:
+        rate = bench(env)
         print(f"{name}: {rate / 1e6:6.2f}M env-steps/s, "
               f"{1e6 * B / rate:6.1f} us per batched step", flush=True)
 
