@@ -213,6 +213,44 @@ def gen_config5():
     return np.asarray(traj[::10]), np.asarray(rewards)  # [8, B, n, 6], [80, B]
 
 
+def gen_config4_keyed():
+    """Config 4 variant through the key-for-key reference-replay collider
+    (solver_mode='random_one_per_body_keyed', engine/ref_replay.py): pins
+    the replayed key tree + scatter + choice + sequential resolve against
+    drift."""
+    from parallax_tpu.envs.lunar_lander import LanderConfig, LunarLander
+
+    env = LunarLander(
+        LanderConfig(
+            narrowphase="gjk_epa",
+            solver_mode="random_one_per_body_keyed",
+            contact=ContactSolverConfig.reference(),
+            broadphase=False,
+        )
+    )
+    B = 2
+    states = jax.vmap(env.reset_fn)(jax.random.split(jax.random.PRNGKey(7), B))
+
+    def action_at(t):
+        main = jnp.clip(1.0 - t / 80.0, 0.0, 1.0)
+        side = 0.3 * jnp.sin(t / 7.0)
+        return jnp.tile(jnp.stack([main, side])[None], (B, 1))
+
+    @jax.jit
+    def run(states):
+        def f(s, t):
+            s, ts = jax.vmap(env.step)(s, action_at(t))
+            return s, (jnp.concatenate(
+                [s.bodies.pos, s.bodies.vel,
+                 s.bodies.angle[..., None], s.bodies.omega[..., None]],
+                axis=-1,
+            ), ts.reward)
+        return jax.lax.scan(f, states, jnp.arange(40))
+
+    _, (traj, rewards) = run(states)
+    return np.asarray(traj[::10]), np.asarray(rewards)  # [4, B, n, 6], [40, B]
+
+
 GENERATORS = {
     "config1": gen_config1,
     "config2": gen_config2,
@@ -228,6 +266,9 @@ def generate_all() -> dict:
     traj5, rew5 = gen_config5()
     out["config5_traj"] = traj5
     out["config5_reward"] = rew5
+    traj4k, rew4k = gen_config4_keyed()
+    out["config4k_traj"] = traj4k
+    out["config4k_reward"] = rew4k
     return out
 
 
@@ -268,6 +309,16 @@ def test_robocup_reference_mode_bitwise(golden):
     traj, rew = gen_config5()
     np.testing.assert_array_equal(traj, golden["config5_traj"])
     np.testing.assert_array_equal(rew, golden["config5_reward"])
+
+
+def test_lander_keyed_replay_bitwise(golden):
+    """Keyed-replay pin (round-3 VERDICT #2): any drift in the
+    reference-key-tree replay path fails here."""
+    if "config4k_traj" not in golden:
+        pytest.skip("config4k fixture missing — regenerate golden_parity.npz")
+    traj, rew = gen_config4_keyed()
+    np.testing.assert_array_equal(traj, golden["config4k_traj"])
+    np.testing.assert_array_equal(rew, golden["config4k_reward"])
 
 
 def test_golden_sanity(golden):
