@@ -1,0 +1,158 @@
+"""Roofline attribution from a device trace (round-3 VERDICT #9).
+
+Captures a jax.profiler trace of the batch-minor LunarLander rollout on
+the real TPU, aggregates device-side op durations by phase (the named
+scopes ``integrate`` / ``collide`` / ``solve_contacts`` / ``joints`` plus
+an "env/other" remainder), and reports each phase's achieved HBM
+bandwidth against the v5e roofline, from an analytic lower bound on the
+phase's HBM traffic.
+
+Peaks used (TPU v5e, one chip):
+    HBM bandwidth  819 GB/s
+    VPU f32        ~3.9 TFLOP/s   ((8,128) lanes x 4 ALUs x 0.94 GHz)
+    MXU bf16       197 TFLOP/s    (not the relevant ceiling: the physics
+                                   step is elementwise/VPU + HBM bound)
+
+The HBM-traffic model is a LOWER bound: each phase's live inputs read
+once + outputs written once.  Fusion can only reduce traffic below the
+sum of per-op traffic, never below this bound, so achieved-GB/s numbers
+are conservative (true utilization >= reported).
+
+    timeout 3000 python tools/roofline.py [batch]
+"""
+
+import collections
+import glob
+import gzip
+import json
+import sys
+import time
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/parallax_jax_cache")
+
+HBM_PEAK = 819e9  # bytes/s
+VPU_PEAK = 3.9e12  # f32 flop/s
+
+PHASES = ("integrate", "collide", "solve_contacts", "joints")
+
+
+def capture(env, B, inner=200):
+    from parallax_tpu.utils.profiling import trace
+
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(0), B))
+
+    def policy(_, obs):
+        return jnp.zeros((obs.shape[0], env.action_size), jnp.float32)
+
+    @jax.jit
+    def run(states):
+        states, traj = env.rollout_batch(states, policy, inner)
+        return states, traj.reward.sum() + traj.obs.sum() + traj.done.sum()
+
+    states, w = run(states)
+    jax.block_until_ready(w)
+
+    logdir = "/tmp/parallax_roofline"
+    t0 = time.perf_counter()
+    with trace(logdir):
+        states, w = run(states)
+        jax.block_until_ready(w)
+    wall = time.perf_counter() - t0
+    return logdir, wall, inner
+
+
+def device_phase_times(logdir):
+    """Sum device-track op durations (us) per named-scope phase."""
+    paths = sorted(glob.glob(logdir + "/**/*.trace.json.gz", recursive=True))
+    if not paths:
+        raise SystemExit(f"no trace.json.gz under {logdir}")
+    with gzip.open(paths[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    # device pids: process_name metadata containing "TPU"
+    device_pids = {
+        e["pid"]
+        for e in events
+        if e.get("ph") == "M"
+        and e.get("name") == "process_name"
+        and "TPU" in str(e.get("args", {}).get("name", ""))
+    }
+    totals = collections.Counter()
+    unattributed = collections.Counter()
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        dur = e.get("dur", 0)
+        blob = e.get("name", "") + json.dumps(e.get("args", {}))
+        for ph in PHASES:
+            if ph in blob:
+                totals[ph] += dur
+                break
+        else:
+            totals["env/other"] += dur
+            unattributed[e.get("name", "?")] += dur
+    return totals, unattributed
+
+
+def lander_traffic_model(B):
+    """Per-step HBM-traffic lower bound (bytes) per phase, lander world.
+
+    n=4 bodies, C=48 contact lanes (pp manifolds), 7 terrain parts x 8
+    vertex rows; every plane is f32 [rows, B]."""
+    f = 4 * B  # bytes per [*, B] row
+    planes = 6 * 4  # px/py/vx/vy/angle/omega x n=4 bodies
+    terrain = 7 * 8 * 2  # x+y vertex rows
+    C = 48
+    return {
+        "integrate": (planes + planes) * f,  # read + write state planes
+        "collide": (planes + terrain + 6 * C) * f,  # state+terrain -> lanes
+        "solve_contacts": (6 * C + planes + planes) * f,  # lanes+state -> state
+        "joints": (planes + planes) * f,
+        "env/other": (planes + terrain + 2 + 9 + 2) * f,  # obs/reward/reset
+    }
+
+
+def main():
+    from parallax_tpu.envs.lunar_lander import LunarLander
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    env = LunarLander()
+    logdir, wall, inner = capture(env, B)
+    totals, unattributed = device_phase_times(logdir)
+    model = lander_traffic_model(B)
+
+    dev_total_us = sum(totals.values())
+    print(f"# B={B}, {inner} steps traced, wall {wall:.2f}s, "
+          f"device busy {dev_total_us / 1e6:.3f}s "
+          f"({dev_total_us / 1e4 / wall:.1f}% of wall)")
+    print(f"{'phase':<16}{'us/step':>10}{'GB/s (>=)':>12}{'% HBM peak':>12}")
+    for ph in list(PHASES) + ["env/other"]:
+        us = totals.get(ph, 0) / inner
+        if us == 0:
+            print(f"{ph:<16}{'—':>10}")
+            continue
+        gbs = model[ph] / (us * 1e-6) / 1e9
+        print(f"{ph:<16}{us:>10.2f}{gbs:>12.1f}{100 * gbs * 1e9 / HBM_PEAK:>11.1f}%")
+    step_us = dev_total_us / inner
+    total_bytes = sum(model.values())
+    print(f"{'TOTAL':<16}{step_us:>10.2f}"
+          f"{total_bytes / (step_us * 1e-6) / 1e9:>12.1f}"
+          f"{100 * total_bytes / (step_us * 1e-6) / HBM_PEAK:>11.1f}%")
+    print(f"# throughput {B * inner and B / (step_us * 1e-6) / 1e6:.1f}M "
+          f"env-steps/s device-side at B={B}")
+    if unattributed:
+        top = unattributed.most_common(5)
+        print("# top unattributed ops:",
+              ", ".join(f"{n} ({d / inner:.1f}us/step)" for n, d in top))
+
+
+if __name__ == "__main__":
+    main()
