@@ -210,6 +210,7 @@ def child_main(args) -> None:
 
     if args.all:
         from parallax_tpu.envs.billiards import Billiards, BilliardsConfig
+        from parallax_tpu.envs.bouncer import Bouncer
         from parallax_tpu.envs.robocup import RoboCup
 
         print(json.dumps(bench_env(RoboCup(), "robocup", batch=args.batch)), flush=True)
@@ -217,6 +218,8 @@ def child_main(args) -> None:
         print(json.dumps(bench_env(
             Billiards(BilliardsConfig(n_object=47)), "billiards48", batch=args.batch
         )), flush=True)
+        # the generic-plane-driver acceptance env (zero bespoke fast-path code)
+        print(json.dumps(bench_env(Bouncer(), "bouncer", batch=args.batch)), flush=True)
 
 
 def _parse_args(argv):
