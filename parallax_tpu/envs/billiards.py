@@ -266,60 +266,8 @@ class Billiards(PlaneEnvMixin, Environment, BatchedEnvironmentMixin):
         )
         return new_state, ts
 
-    # -- batch-minor fast path -------------------------------------------
-
-    def step_fn_batch(self, states: BilliardsState, actions):
-        cfg = self.config
-        n = self.n_balls
-        B = states.t.shape[0]
-        a = jnp.clip(jnp.asarray(actions, jnp.float32).reshape(B, 2), -1.0, 1.0)
-        live_cue = ~states.potted[:, 0]
-        kx = a[:, 0] * cfg.accel * cfg.dt * live_cue
-        ky = a[:, 1] * cfg.accel * cfg.dt * live_cue
-        dampB = jnp.where(states.potted, 0.0, cfg.damping)  # [B, n]
-
-        def pre(s):
-            return s._replace(vx=s.vx.at[0].add(kx), vy=s.vy.at[0].add(ky))
-
-        def post(s):
-            d = jnp.swapaxes(dampB, 0, 1)  # [n, B]
-            return s._replace(
-                vx=s.vx.at[:n].mul(d), vy=s.vy.at[:n].mul(d)
-            )
-
-        b, _ = step_batched(self.world, states.bodies, pre=pre, post=post)
-
-        new_pot = jax.vmap(self._pot_hits)(b.pos[:, :n]) & ~states.potted
-        potted = states.potted | new_pot
-        park = jnp.asarray(self._park)[None]
-        pos_balls = jnp.where(new_pot[..., None], park, b.pos[:, :n])
-        vel_balls = jnp.where(new_pot[..., None], 0.0, b.vel[:, :n])
-        b = b.replace(
-            pos=b.pos.at[:, :n].set(pos_balls), vel=b.vel.at[:, :n].set(vel_balls)
-        )
-
-        cue_lost = potted[:, 0]
-        cleared = jnp.all(potted[:, 1:], axis=-1)
-        reward = (
-            cfg.pot_reward * jnp.sum(new_pot[:, 1:], axis=-1)
-            - cfg.cue_penalty * new_pot[:, 0]
-            + jnp.where(cleared & jnp.any(new_pot[:, 1:], axis=-1), cfg.clear_bonus, 0.0)
-            - cfg.living_cost
-        )
-        new_states = states.replace(bodies=b, potted=potted, t=states.t + 1)
-        terminated = cue_lost | cleared
-        truncated = (new_states.t >= cfg.max_steps) & ~terminated
-        per_ball = jnp.concatenate(
-            [b.pos[:, :n], b.vel[:, :n], potted[..., None].astype(b.pos.dtype)], -1
-        )
-        ts = TimeStep(
-            obs=per_ball.reshape(B, -1),
-            reward=reward,
-            terminated=terminated,
-            truncated=truncated,
-            info={"potted": potted, "cue_lost": cue_lost, "cleared": cleared},
-        )
-        return new_states, ts
+    # batch-minor fast path: step_fn_batch / rollout_batch come from
+    # PlaneEnvMixin via the plane hooks below
 
 
 # ---------------------------------------------------------------------------
@@ -381,7 +329,11 @@ def _bl_plane_post(self, s, potted, con, actions, t_new):
         - cfg.living_cost
     )
     terminated = cue_lost | cleared
-    info = {"cue_lost": cue_lost, "cleared": cleared}
+    info = {
+        "potted": jnp.swapaxes(potted, 0, 1) > 0.5,  # [B, n]
+        "cue_lost": cue_lost,
+        "cleared": cleared,
+    }
     return s, potted, reward, terminated, info
 
 

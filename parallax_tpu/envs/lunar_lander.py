@@ -525,134 +525,6 @@ class LunarLander(PlaneEnvMixin, BatchedEnvironmentMixin, Environment):
 # ---------------------------------------------------------------------------
 
 
-def _lander_step_fn_batch(self, states: LanderState, actions):
-    from parallax_tpu.engine.batched import step_batched
-
-    cfg = self.config
-    B = states.t.shape[0]
-    actions = jnp.asarray(actions, jnp.float32).reshape(B, 2)
-    main = jnp.clip(actions[:, 0], 0.0, 1.0)
-    side = jnp.clip(actions[:, 1], -1.0, 1.0)
-
-    b = states.bodies
-
-    def pre(s):
-        # thrust kicks on the lander, in the batch-minor frame
-        c0, s0 = jnp.cos(s.angle[0]), jnp.sin(s.angle[0])
-        dvx = -s0 * (cfg.main_power * main * cfg.dt) + c0 * (
-            cfg.side_power * side * cfg.dt
-        )
-        dvy = c0 * (cfg.main_power * main * cfg.dt) + s0 * (
-            cfg.side_power * side * cfg.dt
-        )
-        return s._replace(
-            vx=s.vx.at[0].add(dvx),
-            vy=s.vy.at[0].add(dvy),
-            omega=s.omega.at[0].add(-cfg.side_torque * side * cfg.dt),
-        )
-
-    def post(s):
-        return s._replace(omega=s.omega * self._omega_damp[:, None])
-
-    # per-world terrain as world-frame batch-minor planes: transpose the
-    # FLAT [B, 112] storage (efficiently tiled both sides), then split —
-    # going through the [B, 7, V, 2] view would materialize 64x-padded
-    # intermediates
-    tflat = jnp.swapaxes(states.terrain, 0, 1)  # [112, B]
-    tplanes = tflat.reshape(N_TERRAIN, MAX_VERTS, 2, B)
-    tox, toy = tplanes[:, :, 0, :], tplanes[:, :, 1, :]
-    if self._use_candidates:
-        # pre-thrust predicted x: the thrust kick shifts the collide-time
-        # position by <= main_power*dt^2 = 5e-5, far inside the candidate
-        # windows' slack (m*MIN_SEG_W - R >= 0.59)
-        px_pred = jnp.swapaxes(
-            b.pos[:, :3, 0] + b.vel[:, :3, 0] * cfg.dt, 0, 1
-        )  # [3, B]
-        override = self._candidate_override(px_pred, tox, toy)
-    else:
-        override = {p: (tox[i], toy[i]) for i, p in enumerate(self._ground_parts)}
-
-    b, con = step_batched(
-        self._bm_world, b, terrain_override=override, pre=pre, post=post
-    )
-
-    act = con.active  # [C, B]
-    left = act[self._bm_left_leg_lanes].any(0) if len(self._bm_left_leg_lanes) else jnp.zeros(B, bool)
-    right = act[self._bm_right_leg_lanes].any(0) if len(self._bm_right_leg_lanes) else jnp.zeros(B, bool)
-    lander_contact = (
-        act[self._bm_lander_ground_lanes].any(0)
-        if len(self._bm_lander_ground_lanes)
-        else jnp.zeros(B, bool)
-    )
-    leg_contacts = jnp.stack([left, right], axis=-1)  # [B, 2]
-
-    new_states = states.replace(
-        bodies=b, t=states.t + 1,
-        leg_contacts=leg_contacts.astype(jnp.float32),
-    )
-
-    px, py = b.pos[:, 0, 0], b.pos[:, 0, 1]
-    vx, vy = b.vel[:, 0, 0], b.vel[:, 0, 1]
-    ang, om = b.angle[:, 0], b.omega[:, 0]
-    speed = jnp.sqrt(vx * vx + vy * vy)
-    dist = jnp.sqrt(px * px + (py - (PAD_Y + 1.0)) ** 2)
-    shaping = (
-        -dist - speed - jnp.abs(ang) + 0.3 * leg_contacts.sum(-1).astype(px.dtype)
-    )
-
-    landed = (
-        left & right
-        & (speed < cfg.landed_speed)
-        & (jnp.abs(om) < cfg.landed_omega)
-        & (jnp.abs(ang) < 0.3)
-    )
-    crashed = (
-        lander_contact
-        | (jnp.abs(px) > cfg.out_x)
-        | (py < cfg.out_y)
-        | (jnp.abs(ang) > cfg.crash_tilt)
-    )
-    truncated = new_states.t >= cfg.max_steps
-
-    reward = (
-        shaping
-        - states.prev_shaping
-        - cfg.fuel_cost_main * main
-        - cfg.fuel_cost_side * jnp.abs(side)
-        + jnp.where(landed, cfg.landed_bonus, 0.0)
-        + jnp.where(crashed, cfg.crash_penalty, 0.0)
-    )
-    new_states = new_states.replace(prev_shaping=shaping)
-
-    obs = jnp.stack(
-        [
-            px,
-            py - PAD_Y,
-            vx,
-            vy,
-            jnp.sin(ang),
-            jnp.cos(ang),
-            om,
-            left.astype(px.dtype),
-            right.astype(px.dtype),
-        ],
-        axis=-1,
-    )
-    ts = TimeStep(
-        obs=obs,
-        reward=reward,
-        terminated=landed | crashed,
-        truncated=truncated & ~(landed | crashed),
-        info={
-            "landed": landed,
-            "crashed": crashed,
-            "leg_contacts": leg_contacts,
-            "fuel": main + jnp.abs(side),
-        },
-    )
-    return new_states, ts
-
-
 def terrain_planes_batch(keys):
     """Batch-minor terrain sampler: ``keys`` [B, 2] -> (qx, qy) [7, V, B]
 
@@ -752,7 +624,6 @@ def _lander_reset_fn_batch(self, keys):
     return states.replace(prev_shaping=shaping)
 
 
-LunarLander.step_fn_batch = _lander_step_fn_batch
 LunarLander.reset_fn_batch = _lander_reset_fn_batch
 
 
@@ -924,7 +795,12 @@ def _lander_plane_post(self, s: _SoA, aux: LanderAux, con, actions, t_new):
     terminated = landed | crashed
     lc_new = jnp.stack([left, right]).astype(s.px.dtype)  # [2, B]
     aux = LanderAux(tox=aux.tox, toy=aux.toy, prev_shaping=shaping, lc=lc_new)
-    info = {"landed": landed, "crashed": crashed}
+    info = {
+        "landed": landed,
+        "crashed": crashed,
+        "leg_contacts": jnp.stack([left, right], axis=-1),  # [B, 2]
+        "fuel": main + jnp.abs(side),
+    }
     return s, aux, reward, terminated, info
 
 

@@ -161,6 +161,29 @@ class PlaneEnvMixin:
         )
         return out, ts
 
+    def step_fn_batch(self, states, actions):
+        """Batch-minor single step for ``BatchedEnvironmentMixin.step_batch``
+        — the same hooks as the rollout scan, without auto-reset/watchdog
+        (the mixin applies those).  Replaces the per-env hand-written
+        [B, n, ...]-layout twins (round-3 dedup)."""
+        ps = self._to_planes(states)
+        s = self.plane_pre(ps.s, ps.aux, actions)
+        s, con = self.plane_physics(s, ps.aux)
+        t_new = ps.t + 1
+        s, aux, reward, terminated, info = self.plane_post(
+            s, ps.aux, con, actions, t_new
+        )
+        truncated = (t_new >= self.plane_max_steps) & ~terminated
+        ts = TimeStep(
+            obs=self.plane_obs(s, aux),
+            reward=reward,
+            terminated=terminated,
+            truncated=truncated,
+            info=info,
+        )
+        new_states = self.plane_make_state(_from_soa(s), aux, t_new, ps.key)
+        return new_states, ts
+
     def rollout_batch(self, states, policy_fn, n_steps, policy_params=None,
                       max_chunk=None):
         """Plane-space batched rollout: (final_states, TimeStep trajectory).

@@ -274,86 +274,6 @@ class RoboCup(PlaneEnvMixin, BatchedEnvironmentMixin, Environment):
         return new_state, ts
 
 
-def _robocup_step_fn_batch(self, states: RoboCupState, actions):
-    """Batch-minor fast path (see parallax_tpu.engine.batched)."""
-    from parallax_tpu.engine.batched import step_batched
-
-    cfg = self.config
-    B = states.t.shape[0]
-    actions = jnp.asarray(actions, jnp.float32).reshape(B, self.n_robots, 3)
-    v_cmd = jnp.clip(actions[..., :2], -cfg.robot_max_speed, cfg.robot_max_speed)
-    w_cmd = jnp.clip(actions[..., 2], -cfg.robot_max_omega, cfg.robot_max_omega)
-
-    b = states.bodies
-    ri = np.asarray(self.robot_idx)
-    bi = self.ball_idx
-    # batch-minor command planes [n_robots, B]
-    vcx = jnp.swapaxes(v_cmd[..., 0], 0, 1)
-    vcy = jnp.swapaxes(v_cmd[..., 1], 0, 1)
-    wc = jnp.swapaxes(w_cmd, 0, 1)
-    lim = cfg.robot_max_accel * cfg.dt
-
-    def pre(s):
-        # velocity-command tracking with accel clamp, in the batch-minor
-        # frame (never touches the padded-tile [B, n, 2] layout mid-step)
-        dvx = jnp.clip(vcx - s.vx[ri], -lim, lim)
-        dvy = jnp.clip(vcy - s.vy[ri], -lim, lim)
-        return s._replace(
-            vx=s.vx.at[ri].add(dvx),
-            vy=s.vy.at[ri].add(dvy),
-            omega=s.omega.at[ri].set(wc),
-        )
-
-    def post(s):
-        return s._replace(
-            vx=s.vx.at[bi].multiply(cfg.ball_damping),
-            vy=s.vy.at[bi].multiply(cfg.ball_damping),
-        )
-
-    b, _con = step_batched(self.world, b, pre=pre, post=post)
-
-    new_states = states.replace(bodies=b, t=states.t + 1)
-
-    bx = b.pos[:, self.ball_idx, 0]
-    by = b.pos[:, self.ball_idx, 1]
-    line = PLAY_AREA[0] / 2
-    in_mouth = jnp.abs(by) < GOAL_DIM[1] / 2
-    blue_scored = (bx < -(line + BALL_RADIUS)) & in_mouth
-    yellow_scored = (bx > (line + BALL_RADIUS)) & in_mouth
-
-    shaping = -cfg.shaping_coef * bx
-    reward = (
-        jnp.where(blue_scored, cfg.goal_reward, 0.0)
-        - jnp.where(yellow_scored, cfg.goal_reward, 0.0)
-        + shaping * cfg.dt
-    )
-    terminated = blue_scored | yellow_scored
-    truncated = (new_states.t >= cfg.max_steps) & ~terminated
-
-    obs = jnp.concatenate(
-        [
-            b.pos[:, self.ball_idx],
-            b.vel[:, self.ball_idx],
-            b.pos[:, ri].reshape(B, -1),
-            b.vel[:, ri].reshape(B, -1),
-        ],
-        axis=-1,
-    )
-    ts = TimeStep(
-        obs=obs,
-        reward=reward,
-        terminated=terminated,
-        truncated=truncated,
-        info={
-            "blue_scored": blue_scored,
-            "yellow_scored": yellow_scored,
-            "ball_speed": jnp.sqrt(jnp.sum(b.vel[:, self.ball_idx] ** 2, -1)),
-        },
-    )
-    return new_states, ts
-
-
-RoboCup.step_fn_batch = _robocup_step_fn_batch
 
 
 # ---------------------------------------------------------------------------
@@ -399,7 +319,11 @@ def _rc_plane_post(self, s, aux, con, actions, t_new):
         + (-cfg.shaping_coef * bx) * cfg.dt
     )
     terminated = blue_scored | yellow_scored
-    info = {"blue_scored": blue_scored, "yellow_scored": yellow_scored}
+    info = {
+        "blue_scored": blue_scored,
+        "yellow_scored": yellow_scored,
+        "ball_speed": jnp.sqrt(s.vx[bi] ** 2 + s.vy[bi] ** 2),
+    }
     return s, aux, reward, terminated, info
 
 
