@@ -1,7 +1,7 @@
 """Render a rollout of any bundled env to PNG frames (and a GIF when
 pillow is available).
 
-Run:  python examples/render_rollout.py [--env lander|robocup|billiards]
+Run:  python examples/render_rollout.py [--env lander|robocup|billiards|bouncer]
       [--steps 300]
 """
 
@@ -15,13 +15,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from parallax_tpu.envs import Billiards, LunarLander, RoboCup
+from parallax_tpu.envs import Billiards, Bouncer, LunarLander, RoboCup
 from parallax_tpu.viz import Renderer, save_gif
 
 ENVS = {
     "lander": (LunarLander, (-8.0, 8.0, -6.0, 6.0)),
     "robocup": (RoboCup, (-5.5, 5.5, -4.0, 4.0)),
     "billiards": (Billiards, (-1.3, 1.3, -0.8, 0.8)),
+    "bouncer": (Bouncer, (-2.5, 2.5, -2.5, 2.5)),
 }
 
 
@@ -29,7 +30,7 @@ def scripted_action(name, env, state, i):
     if name == "lander":
         throttle = 0.45 if float(state.bodies.vel[0, 1]) < -0.3 else 0.1
         return jnp.array([throttle, 0.0])
-    if name == "billiards":
+    if name in ("billiards", "bouncer"):
         return jnp.array([1.0, 0.1]) if i < 60 else jnp.zeros(2)
     # robocup: all robots drive forward
     return jnp.zeros(env.action_size).at[0::2].set(0.6)

@@ -1,5 +1,6 @@
-from parallax_tpu.envs import base, billiards, lunar_lander, robocup  # noqa: F401
+from parallax_tpu.envs import base, billiards, bouncer, lunar_lander, plane_env, robocup  # noqa: F401
 from parallax_tpu.envs.billiards import Billiards, BilliardsConfig  # noqa: F401
+from parallax_tpu.envs.bouncer import Bouncer, BouncerConfig  # noqa: F401
 from parallax_tpu.envs.base import (  # noqa: F401
     ConstantControl,
     Control,
@@ -10,4 +11,5 @@ from parallax_tpu.envs.base import (  # noqa: F401
     evaluate,
 )
 from parallax_tpu.envs.lunar_lander import LanderConfig, LunarLander  # noqa: F401
+from parallax_tpu.envs.plane_env import PlaneEnvMixin, PlaneState  # noqa: F401
 from parallax_tpu.envs.robocup import RoboCup, RoboCupConfig  # noqa: F401
