@@ -287,3 +287,50 @@ def test_fused_step_kernel_circle_box_worlds():
             np.asarray(ref_c.active), np.asarray(got_c.active)
         )
         assert int(np.asarray(ref_c.active).sum()) > 0
+
+
+def test_fused_step_kernel_bb_group():
+    """Synthetic world with a dynamic box-box pair group (no shipping env
+    has one): two overlapping AABB crates + a circle on top."""
+    from parallax_tpu.engine.batched import physics_core
+    from parallax_tpu.engine.world import BodyDef, World, WorldConfig
+    from parallax_tpu.geometry.shapes import box, circle
+    from parallax_tpu.ops.pallas_step import (
+        physics_core_pallas,
+        supports_fused_step,
+    )
+
+    bodies = [
+        BodyDef(shapes=[box((-0.6, -0.4), (0.6, 0.4))], mass=2.0, inertia=1.0,
+                position=(0.0, 0.0), velocity=(0.2, 0.0)),
+        BodyDef(shapes=[box((-0.5, -0.5), (0.5, 0.5))], mass=1.5, inertia=0.8,
+                position=(0.7, 0.2), velocity=(-0.3, 0.1)),
+        BodyDef(shapes=[circle(0.3)], mass=1.0, inertia=0.2,
+                position=(0.3, 0.8), velocity=(0.0, -0.5)),
+        BodyDef(shapes=[box((-3.0, -0.3), (3.0, 0.0))], mass=np.inf,
+                inertia=np.inf, position=(0.0, -0.6)),
+    ]
+    world, st = World.build(bodies, WorldConfig(gravity=(0.0, -1.0)))
+    kernels = {g.kernel for g in world.table.groups}
+    assert "bb" in kernels and "cb" in kernels, kernels
+    assert supports_fused_step(world)
+
+    B = TILE_B
+    s = _to_soa(
+        jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), st)
+    )
+    # per-world jitter so lanes differ across the batch
+    s = s._replace(px=s.px + 0.02 * jnp.sin(jnp.arange(B, dtype=jnp.float32))[None])
+    ref_s, ref_c = jax.jit(lambda s: physics_core(world, s))(s)
+    got_s, got_c = jax.jit(
+        lambda s: physics_core_pallas(world, s, interpret=True)
+    )(s)
+    for f in ("px", "py", "vx", "vy", "angle", "omega"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref_s, f)), np.asarray(getattr(got_s, f)),
+            atol=1e-5, err_msg=f,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(ref_c.active), np.asarray(got_c.active)
+    )
+    assert int(np.asarray(ref_c.active).sum()) > 0
