@@ -160,7 +160,12 @@ class Billiards(PlaneEnvMixin, Environment, BatchedEnvironmentMixin):
             integrator="symplectic",
             solver_iterations=config.solver_iterations,
             position_iterations=config.position_iterations,
-            use_pallas_solver=not config.use_pallas_fused,
+            # keep the solver kernel on even when fused is requested: if the
+            # fused step silently falls back (batch % TILE_B != 0, non-TPU
+            # backend), the split path then still runs the Pallas solver
+            # instead of degrading to the pure-XLA one (7.5x slower on
+            # billiards48)
+            use_pallas_solver=True,
             use_pallas_fused=config.use_pallas_fused,
         )
         self.world, self._init_bodies = World.build(balls + walls, wc)
@@ -329,8 +334,11 @@ def _bl_plane_post(self, s, potted, con, actions, t_new):
         - cfg.living_cost
     )
     terminated = cue_lost | cleared
+    # no per-ball "potted" here: a [B, n] bool per scanned TimeStep would
+    # materialize [T, B, n] (~190 MB/wave at billiards48 B=8192 T=500) in
+    # any caller that keeps the trajectory; potted is already in obs and
+    # in the carried state
     info = {
-        "potted": jnp.swapaxes(potted, 0, 1) > 0.5,  # [B, n]
         "cue_lost": cue_lost,
         "cleared": cleared,
     }

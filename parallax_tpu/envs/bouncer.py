@@ -22,6 +22,7 @@ from parallax_tpu.dynamics.bodies import BodyState
 from parallax_tpu.engine.world import BodyDef, World, WorldConfig
 from parallax_tpu.envs.base import BatchedEnvironmentMixin, Environment, TimeStep
 from parallax_tpu.envs.plane_env import PlaneEnvMixin, init_planes_of
+from parallax_tpu.geometry.math import safe_norm
 from parallax_tpu.geometry.shapes import box, circle
 
 HALF = 2.0  # arena half-extent
@@ -108,7 +109,7 @@ class Bouncer(PlaneEnvMixin, BatchedEnvironmentMixin, Environment):
         )
         b, _ = self.world.step(b)
         new_state = state.replace(bodies=b, t=state.t + 1)
-        d = jnp.linalg.norm(b.pos[0])
+        d = safe_norm(b.pos[0])
         reward = -d * cfg.dt - cfg.control_cost * jnp.sum(a * a)
         terminated = jnp.zeros((), bool)
         truncated = new_state.t >= cfg.max_steps
@@ -136,7 +137,7 @@ class Bouncer(PlaneEnvMixin, BatchedEnvironmentMixin, Environment):
     def plane_post(self, s, aux, con, actions, t_new):
         cfg = self.config
         a = jnp.clip(jnp.asarray(actions, jnp.float32).reshape(-1, 2), -1.0, 1.0)
-        d = jnp.sqrt(s.px[0] ** 2 + s.py[0] ** 2)
+        d = safe_norm(jnp.stack([s.px[0], s.py[0]], axis=-1))
         reward = -d * cfg.dt - cfg.control_cost * jnp.sum(a * a, axis=-1)
         terminated = jnp.zeros(t_new.shape, bool)
         return s, aux, reward, terminated, {}

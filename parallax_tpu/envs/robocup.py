@@ -166,7 +166,11 @@ class RoboCup(PlaneEnvMixin, BatchedEnvironmentMixin, Environment):
             solver_mode=config.solver_mode,
             solver_iterations=config.solver_iterations,
             position_iterations=config.position_iterations,
-            use_pallas_solver=not config.use_pallas_fused,
+            # solver kernel stays on alongside fused: if the fused step
+            # silently falls back (batch % TILE_B != 0, non-TPU backend),
+            # the split path still gets the Pallas solver instead of the
+            # pure-XLA one
+            use_pallas_solver=True,
             use_pallas_fused=config.use_pallas_fused,
         )
         self.world, self._init_bodies = World.build(bodies, wc, collision_filter=filt)

@@ -7,9 +7,12 @@ device steps its shard of the batch with **zero per-step collectives**;
 reductions (learner gradients, metrics) happen at the trajectory boundary
 where XLA inserts psums over ICI automatically from the shardings.
 
-Multi-host: call ``distributed_init()`` once per process, build the mesh
-over ``jax.devices()`` (global), and feed per-host shards via
-``host_local_batch`` — standard jax.distributed SPMD.
+Multi-host: call ``distributed_init(auto=True)`` (TPU pod slices:
+auto-detected coordinator) or ``distributed_init(coordinator_address=...,
+num_processes=..., process_id=...)`` once per process BEFORE any other jax
+call, build the mesh over ``jax.devices()`` (global), and feed per-host
+shards via ``host_local_batch`` — standard jax.distributed SPMD.  A bare
+``distributed_init()`` is an explicit no-op (single-process mode).
 """
 
 from __future__ import annotations

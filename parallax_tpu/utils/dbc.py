@@ -30,6 +30,7 @@ contract silently.
 
 from __future__ import annotations
 
+import collections
 import functools
 import os
 from typing import Callable
@@ -46,17 +47,26 @@ _RAISE = os.environ.get("PARALLAX_CHECKS_RAISE", "1") == "1"
 # conditions carry no arrays to poison) still lands here via
 # jax.debug.callback, so fleets can poll `violations()` between steps
 # instead of losing the signal entirely (round-2 VERDICT weak #4).
-_VIOLATIONS: list = []
+# A Counter (message -> count), NOT a list: a systematically violated
+# contract in a multi-hour soak appends once per distinct message, not
+# once per invocation, so the log is O(distinct contracts) forever.
+_VIOLATIONS: collections.Counter = collections.Counter()
 
 
 def violations() -> tuple:
-    """Messages of every contract violated since the last clear.
+    """Distinct messages of every contract violated since the last clear.
 
     ``jax.debug.callback`` delivery is asynchronous under jit — call
     ``jax.block_until_ready`` on the step output (or
     ``jax.effects_barrier()``) before polling for a complete view.
+    Per-message hit counts: ``violation_counts()``.
     """
     return tuple(_VIOLATIONS)
+
+
+def violation_counts() -> dict:
+    """``{message: times violated}`` since the last clear."""
+    return dict(_VIOLATIONS)
 
 
 def clear_violations() -> None:
@@ -122,7 +132,7 @@ def check(cond, message: str, *arrays):
 
     def _report(bad):
         if bad:
-            _VIOLATIONS.append(message)
+            _VIOLATIONS[message] += 1
             if _RAISE:
                 raise AssertionError(f"parallax contract violated: {message}")
 

@@ -130,6 +130,11 @@ def main():
     model = lander_traffic_model(B)
 
     dev_total_us = sum(totals.values())
+    if dev_total_us == 0:
+        raise SystemExit(
+            "no events matched a TPU device pid in the trace — backend was "
+            "not TPU, or the trace's process_name rows use a different label"
+        )
     print(f"# B={B}, {inner} steps traced, wall {wall:.2f}s, "
           f"device busy {dev_total_us / 1e6:.3f}s "
           f"({dev_total_us / 1e4 / wall:.1f}% of wall)")
@@ -146,7 +151,7 @@ def main():
     print(f"{'TOTAL':<16}{step_us:>10.2f}"
           f"{total_bytes / (step_us * 1e-6) / 1e9:>12.1f}"
           f"{100 * total_bytes / (step_us * 1e-6) / HBM_PEAK:>11.1f}%")
-    print(f"# throughput {B * inner and B / (step_us * 1e-6) / 1e6:.1f}M "
+    print(f"# throughput {B / (step_us * 1e-6) / 1e6:.1f}M "
           f"env-steps/s device-side at B={B}")
     if unattributed:
         top = unattributed.most_common(5)
