@@ -201,3 +201,24 @@ def test_class_invariant_field_annotations():
     bad_nan = Probe("ok", jnp.asarray([1.0, jnp.nan]))
     with pytest.raises(AssertionError, match="finite"):
         bad_nan.poke()
+
+
+def test_violation_counts_bounded():
+    """The violation log is a message -> count table: a contract violated
+    N times stores ONE entry with count N (bounded memory for multi-hour
+    fleet soaks), and violation_counts() exposes the hit count."""
+    dbc.set_raise_on_violation(False)
+    dbc.clear_violations()
+    try:
+        @dbc.pre_condition(lambda x: jnp.all(x > 0), "x must be positive")
+        def f(x):
+            return x * 2
+
+        for _ in range(5):
+            jax.block_until_ready(f(jnp.asarray(-1.0)))
+        jax.effects_barrier()
+        assert dbc.violations() == ("x must be positive",)
+        assert dbc.violation_counts() == {"x must be positive": 5}
+    finally:
+        dbc.set_raise_on_violation(True)
+        dbc.clear_violations()

@@ -78,3 +78,37 @@ def test_bouncer_vmapped_path_agrees_physically():
     np.testing.assert_allclose(
         np.asarray(st2.bodies.vel[0]), np.asarray(s1.bodies.vel), rtol=0, atol=0
     )
+
+
+def test_bouncer_reward_grad_finite_at_origin():
+    """The reward -|pos| attracts ball 0 to the origin — the singular
+    point of jnp.linalg.norm's reverse-mode gradient.  Both the vmapped
+    and plane-space reward paths must use safe_norm so differentiating a
+    rollout with the ball exactly at (0, 0) stays finite."""
+    env = Bouncer()
+    s0 = env.reset_fn(jax.random.PRNGKey(0))
+    s0 = s0.replace(bodies=s0.bodies.replace(pos=s0.bodies.pos.at[0].set(jnp.zeros(2))))
+
+    def rew(pos0):
+        s = s0.replace(bodies=s0.bodies.replace(pos=s0.bodies.pos.at[0].set(pos0)))
+        _, ts = env.step_fn(s, jnp.zeros(2))
+        return ts.reward
+
+    g = jax.grad(rew)(jnp.zeros(2))
+    assert np.isfinite(np.asarray(g)).all()
+
+    # plane-space path: grad of one scanned step w.r.t. batched positions
+    B = 2
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(0), B))
+    states = states.replace(
+        bodies=states.bodies.replace(pos=states.bodies.pos.at[:, 0].set(0.0))
+    )
+
+    def batch_rew(pos):
+        s = states.replace(bodies=states.bodies.replace(pos=pos))
+        ps = env._to_planes(s)
+        _, ts = env._step_planes(ps, jnp.zeros((B, 2)))
+        return ts.reward.sum()
+
+    gb = jax.grad(batch_rew)(states.bodies.pos)
+    assert np.isfinite(np.asarray(gb)).all()
