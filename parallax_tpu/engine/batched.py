@@ -1126,10 +1126,9 @@ def _pallas_ok(world, s) -> bool:
 def _pallas_fused_ok(world, s) -> bool:
     if not world.config.use_pallas_fused:
         return False
-    from parallax_tpu.ops.pallas_solver import TILE_B
-    from parallax_tpu.ops.pallas_step import supports_fused_step
+    from parallax_tpu.ops.pallas_step import fused_tile_for, supports_fused_step
 
-    if s.vx.shape[-1] % TILE_B != 0:
+    if fused_tile_for(world.table.n_contacts, s.vx.shape[-1]) is None:
         return False
     if not supports_fused_step(world):
         return False

@@ -29,9 +29,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from parallax_tpu.geometry.shapes import POLYGON, edge_mask_for
-from parallax_tpu.ops.pallas_solver import TILE_B, _build_operands, solve_arrays
+from parallax_tpu.ops.pallas_solver import (
+    TILE_B,
+    _VMEM_BUDGET,
+    _build_operands,
+    solve_arrays,
+)
 
 INF = float("inf")
+
+# The fused kernel keeps more live than the solver alone: the collide
+# temporaries, state/terrain planes and the contact buffer all ride in
+# VMEM alongside the ~48 solver rows.  Measured anchor: RoboCup (C=70,
+# n=11) at tile 1024 allocates 16.97 MB scoped, i.e. ~61 f32 [*, tile]
+# rows per contact lane; 64 is the conservative model.
+_FUSED_LIVE_FACTOR = 64
+
+
+def fused_tile_for(n_contacts: int, batch: int):
+    """Largest viable world-batch tile for the FUSED step on this contact
+    table, or None when even the smallest tile spills VMEM (callers then
+    take the split collide-in-XLA path).  Same ladder/contract as
+    ``pallas_solver.tile_for`` with the fused live-row model."""
+    rows = _FUSED_LIVE_FACTOR * max(n_contacts, 1)
+    for t in sorted({TILE_B, 1024, 512, 256, 128}, reverse=True):
+        if t > TILE_B:
+            continue
+        if batch % t == 0 and rows * t * 4 <= _VMEM_BUDGET:
+            return t
+    return None
 
 
 # pair-group kernels the fused step implements (round 3 added the
@@ -501,7 +527,13 @@ def physics_core_pallas(world, s, terrain_override=None, dt=None, accel=None,
     n = st["n"]
     V = st["V"]
     B = s.vx.shape[-1]
-    assert B % TILE_B == 0
+    tb = fused_tile_for(ops["C"], B)
+    if tb is None:
+        raise ValueError(
+            f"fused step: no viable world-batch tile for C={ops['C']} at "
+            f"batch {B} (batch must be a multiple of 128 and the contact "
+            "table must fit the VMEM budget); use the split path"
+        )
 
     if n_terrain:
         tx = jnp.concatenate([terrain_override[p][0] for p in tparts], axis=0)
@@ -511,12 +543,12 @@ def physics_core_pallas(world, s, terrain_override=None, dt=None, accel=None,
         ty = jnp.zeros((1, B), s.vx.dtype)
 
     def tile(rows):
-        return pl.BlockSpec((rows, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((rows, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     def whole(a):
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
 
-    grid = (B // TILE_B,)
+    grid = (B // tb,)
     C = ops["C"]
     out_shapes = [jax.ShapeDtypeStruct((n, B), s.vx.dtype) for _ in range(6)] + [
         jax.ShapeDtypeStruct((C, B), s.vx.dtype)
@@ -537,6 +569,10 @@ def physics_core_pallas(world, s, terrain_override=None, dt=None, accel=None,
             ),
             out_specs=[tile(n)] * 6 + [tile(C)],
             out_shape=out_shapes,
+            # Mosaic's default scoped-vmem limit is 16 MB; the fused step
+            # legitimately keeps more live (RoboCup: 16.97 MB at tile
+            # 1024) — fused_tile_for bounds it to _VMEM_BUDGET instead
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BUDGET),
             interpret=interpret,
         )(
             ops["lane_const"], ops["oh_a"], ops["oh_b"], ops["oh_p"],

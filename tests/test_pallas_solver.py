@@ -220,6 +220,23 @@ def test_tile_for_budgets():
     assert tile_for(52, 100) is None  # batch not tileable
 
 
+def test_fused_tile_for_budgets():
+    """The FUSED step keeps more live per contact lane (collide temps +
+    state/terrain planes) — measured 16.97MB scoped at RoboCup's C=70,
+    tile 1024 — so its tile model is separate from the solver's."""
+    import os
+
+    if os.environ.get("PARALLAX_TILE_B"):
+        pytest.skip("expectations assume the default TILE_B cap")
+    from parallax_tpu.ops.pallas_step import fused_tile_for
+
+    assert fused_tile_for(52, 8192) == 1024  # lander
+    assert fused_tile_for(70, 8192) == 1024  # robocup (needs raised limit)
+    assert fused_tile_for(1320, 8192) == 256  # 48-ball world: shrink
+    assert fused_tile_for(10**6, 8192) is None  # nothing fits -> split path
+    assert fused_tile_for(52, 100) is None  # batch not tileable
+
+
 def test_build_operands_any_partner_flag():
     from parallax_tpu.envs.billiards import Billiards
     from parallax_tpu.ops.pallas_solver import _build_operands

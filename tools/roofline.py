@@ -70,7 +70,14 @@ def capture(env, B, inner=200):
 
 
 def device_phase_times(logdir):
-    """Sum device-track op durations (us) per named-scope phase."""
+    """Sum device op SELF time (us) per named-scope phase.
+
+    The device trace's "XLA Ops" track nests container rows (the
+    ``jit_*`` module row rides a separate "XLA Modules" thread, but
+    ``while.N`` bodies ride XLA Ops enclosing their children), so naive
+    duration sums double-count ~2x.  We keep only the XLA Ops thread and
+    compute flame-graph self time: each event's duration minus the
+    duration of events nested inside it on the same thread."""
     paths = sorted(glob.glob(logdir + "/**/*.trace.json.gz", recursive=True))
     if not paths:
         raise SystemExit(f"no trace.json.gz under {logdir}")
@@ -85,20 +92,45 @@ def device_phase_times(logdir):
         and e.get("name") == "process_name"
         and "TPU" in str(e.get("args", {}).get("name", ""))
     }
+    op_tids = {
+        (e["pid"], e.get("tid"))
+        for e in events
+        if e.get("ph") == "M"
+        and e.get("name") == "thread_name"
+        and e["pid"] in device_pids
+        and e.get("args", {}).get("name") == "XLA Ops"
+    }
+    rows = [
+        e
+        for e in events
+        if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in op_tids
+    ]
+    # self time via a nesting stack per thread (rows sorted by start,
+    # containers before their children at equal start)
+    rows.sort(key=lambda e: (e.get("tid"), e["ts"], -e.get("dur", 0)))
     totals = collections.Counter()
     unattributed = collections.Counter()
-    for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+    stack = []  # (tid, end_ts, child_sum_accumulator index)
+    child_sum = {}  # id(event) -> total child duration
+    for e in rows:
+        ts, dur = e["ts"], e.get("dur", 0)
+        while stack and (stack[-1][0] != e.get("tid") or stack[-1][1] <= ts):
+            stack.pop()
+        if stack:
+            child_sum[stack[-1][2]] = child_sum.get(stack[-1][2], 0) + dur
+        stack.append((e.get("tid"), ts + dur, id(e)))
+    for e in rows:
+        self_us = e.get("dur", 0) - child_sum.get(id(e), 0)
+        if self_us <= 0:
             continue
-        dur = e.get("dur", 0)
         blob = e.get("name", "") + json.dumps(e.get("args", {}))
         for ph in PHASES:
             if ph in blob:
-                totals[ph] += dur
+                totals[ph] += self_us
                 break
         else:
-            totals["env/other"] += dur
-            unattributed[e.get("name", "?")] += dur
+            totals["env/other"] += self_us
+            unattributed[e.get("name", "?")] += self_us
     return totals, unattributed
 
 
