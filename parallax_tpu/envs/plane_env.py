@@ -185,13 +185,15 @@ class PlaneEnvMixin:
         return new_states, ts
 
     def rollout_batch(self, states, policy_fn, n_steps, policy_params=None,
-                      max_chunk=None):
+                      max_chunk=None, mesh=None):
         """Plane-space batched rollout: (final_states, TimeStep trajectory).
 
         ``policy_fn(params, obs[B, obs_dim]) -> actions [B, act_dim]``.
         Batches larger than ``max_chunk`` (default
         ``parallel.rollout.ROLLOUT_CHUNK``) run as sequential waves — see
-        :func:`parallax_tpu.parallel.rollout.chunked_rollout`.
+        :func:`parallax_tpu.parallel.rollout.chunked_rollout`.  For a batch
+        sharded over a "worlds" ``mesh``, pass the mesh so waves are sliced
+        per-device (chunk worlds per chip per wave, zero collectives).
         """
         from parallax_tpu.parallel.rollout import chunked_rollout
 
@@ -208,5 +210,6 @@ class PlaneEnvMixin:
             return self._from_planes(ps), traj
 
         return chunked_rollout(
-            one_wave, states, n_steps, states.t.shape[0], max_chunk
+            one_wave, states, n_steps, states.t.shape[0], max_chunk,
+            mesh=mesh,
         )

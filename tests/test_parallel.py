@@ -153,6 +153,185 @@ def test_sharded_rollout_has_zero_per_step_collectives():
     assert not colls, f"unexpected collectives in env rollout: {set(colls)}"
 
 
+def test_mesh_chunked_rollout_zero_collectives():
+    """Fleet above one chunk per chip (round-3 VERDICT #1): waves are sliced
+    per-device (chunk worlds per chip per wave) so the compiled chunked +
+    sharded rollout contains NO collectives — including a remainder wave."""
+    import re
+
+    mesh = make_world_mesh()
+    env = LunarLander()
+    # per_dev = 11 worlds/device at chunk=4 -> 2 full waves + remainder 3
+    B = 8 * 11
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(0), B))
+    states = shard_batch(states, mesh)
+
+    def policy(_, obs):
+        return jnp.zeros((obs.shape[0], 2), jnp.float32)
+
+    @jax.jit
+    def run(states):
+        return env.rollout_batch(states, policy, 4, max_chunk=4, mesh=mesh)
+
+    final, traj = run(states)
+    # outputs stay sharded over all 8 devices
+    assert len(final.bodies.pos.sharding.device_set) == 8
+    assert len(traj.reward.sharding.device_set) == 8
+
+    hlo = run.lower(states).compile().as_text()
+    colls = re.findall(
+        r"(all-reduce|all-gather|collective-permute|reduce-scatter|all-to-all)",
+        hlo,
+    )
+    assert not colls, f"unexpected collectives in mesh-chunked rollout: {set(colls)}"
+
+
+def test_mesh_chunked_relayout_exact():
+    """The mesh wave transform is a pure relayout: with a rollout_fn whose
+    math is exactly shape-invariant (elementwise, no reductions), the
+    mesh-chunked result must be BITWISE equal to calling the fn on the whole
+    batch — for divisible and remainder per-device batches.  This pins the
+    [D, k, chunk] slicing + inverse permutation exactly: a world sent to the
+    wrong wave slot or reassembled out of order changes the answer by whole
+    worlds, not ULPs."""
+    from parallax_tpu.parallel.rollout import _mesh_chunked_rollout
+
+    mesh = make_world_mesh()
+    n_steps = 3
+
+    def rollout_fn(states):
+        # per-world math built ONLY from exactly-rounded ops (multiply by a
+        # power of two, one multiply per value) so fma-contraction choices
+        # cannot move the result across program shapes; traj is time-major
+        # [T, Bc, 2]
+        final = jax.tree_util.tree_map(lambda x: x * 2.0 + 1.0, states)
+        traj = jnp.stack(
+            [states["a"] * float(2 ** t) for t in range(n_steps)]
+        )
+        return final, traj
+
+    for per_dev in (8, 11):  # divisible (k=2) and remainder (k=2, rem=3)
+        B = 8 * per_dev
+        states = {"a": jnp.arange(B * 2, dtype=jnp.float32).reshape(B, 2)
+                  * 0.3333333333 + 7.0}
+        want_f, want_t = rollout_fn(states)
+        sharded = shard_batch(states, mesh)
+        got_f, got_t = jax.jit(
+            lambda s: _mesh_chunked_rollout(
+                rollout_fn, s, n_steps, B, 4, mesh, "worlds"
+            )
+        )(sharded)
+        np.testing.assert_array_equal(np.asarray(want_f["a"]),
+                                      np.asarray(got_f["a"]))
+        np.testing.assert_array_equal(np.asarray(want_t),
+                                      np.asarray(got_t))
+        assert len(got_f["a"].sharding.device_set) == 8
+
+
+def test_mesh_chunked_rollout_matches_baselines():
+    """Per-world lander results of the mesh-aware chunked rollout match the
+    sharded unchunked run and the single-device chunked run within ~1 ULP.
+    Bitwiseness across PROGRAM SHAPES is not an XLA guarantee: the SPMD
+    partitioner fuses fma differently per local shape (measured on this
+    backend: sharded-unchunked vs unsharded-unchunked differs 1.18e-9 in
+    pos with NO chunking involved; wave body at local batch 4 vs unchunked
+    local batch 8 differs 2.5e-7 in vel over 12 steps).  World-ORDER exactness — the thing
+    the relayout could actually get wrong — is pinned bitwise by
+    test_mesh_chunked_relayout_exact; here a couple-ULP atol still catches
+    any permutation bug (different worlds differ at O(1), not 1e-8)."""
+    mesh = make_world_mesh()
+    env = LunarLander()
+    n_steps = 12
+
+    def policy(_, obs):
+        return jnp.tile(jnp.array([0.4, 0.05]), (obs.shape[0], 1))
+
+    for B in (8 * 8, 8 * 11):  # divisible and remainder (per_dev 8 / 11)
+        states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(1), B))
+        f_1dev, t_1dev = jax.jit(
+            lambda s: env.rollout_batch(s, policy, n_steps, max_chunk=4)
+        )(states)
+        sharded = shard_batch(states, mesh)
+        f_base, t_base = jax.jit(
+            lambda s: env.rollout_batch(s, policy, n_steps, max_chunk=0)
+        )(sharded)
+        f_mesh, t_mesh = jax.jit(
+            lambda s: env.rollout_batch(s, policy, n_steps, max_chunk=4,
+                                        mesh=mesh)
+        )(sharded)
+        for ref_f, ref_t in ((f_base, t_base), (f_1dev, t_1dev)):
+            np.testing.assert_allclose(
+                np.asarray(ref_f.bodies.pos), np.asarray(f_mesh.bodies.pos),
+                rtol=0, atol=5e-7,
+            )
+            np.testing.assert_allclose(
+                np.asarray(ref_f.bodies.vel), np.asarray(f_mesh.bodies.vel),
+                rtol=0, atol=5e-7,
+            )
+            np.testing.assert_allclose(
+                np.asarray(ref_t.reward), np.asarray(t_mesh.reward),
+                rtol=0, atol=1e-6,
+            )
+            np.testing.assert_allclose(
+                np.asarray(ref_t.obs), np.asarray(t_mesh.obs),
+                rtol=0, atol=1e-6,
+            )
+        # flags quantize hard; they must agree exactly
+        np.testing.assert_array_equal(
+            np.asarray(t_base.terminated), np.asarray(t_mesh.terminated)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(t_base.truncated), np.asarray(t_mesh.truncated)
+        )
+
+
+def test_mesh_chunked_train_step_grad():
+    """Gradients flow through the mesh-aware chunked rollout (lax.map waves
+    are differentiable) and match the unchunked sharded train step."""
+    import optax
+
+    env = LunarLander()
+    mesh = make_world_mesh()
+    B = 8 * 6  # per_dev=6, chunk=4 -> 1 full wave + remainder 2
+    n_steps = 4
+
+    params = {"w": jnp.zeros((env.observation_size, env.action_size)),
+              "b": jnp.zeros(env.action_size)}
+
+    def policy(p, obs):
+        return jnp.tanh(obs @ p["w"] + p["b"])
+
+    optimizer = optax.sgd(1e-2)
+    opt_state = optimizer.init(params)
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(2), B))
+    sharded = shard_batch(states, mesh)
+    params_r = jax.device_put(params, replicated(mesh))
+    opt_r = jax.device_put(opt_state, replicated(mesh))
+
+    ts_plain = make_train_step(env, policy, optimizer, n_steps)
+    ts_chunk = make_train_step(env, policy, optimizer, n_steps,
+                               max_chunk=4, mesh=mesh)
+    p0, _, _, m0 = jax.jit(ts_plain)(params_r, opt_r, sharded)
+    p1, _, _, m1 = jax.jit(ts_chunk)(params_r, opt_r, sharded)
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p0["w"]), np.asarray(p1["w"]),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_mesh_chunked_requires_divisible_batch():
+    mesh = make_world_mesh()
+    env = LunarLander()
+    B = 8 * 4 + 4  # not divisible by 8, above one chunk per chip
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(0), B))
+
+    def policy(_, obs):
+        return jnp.zeros((obs.shape[0], 2), jnp.float32)
+
+    with pytest.raises(ValueError, match="divisible"):
+        env.rollout_batch(states, policy, 2, max_chunk=4, mesh=mesh)
+
+
 def test_train_step_gradient_psum_crosses_devices():
     """The learner side DOES reduce across the mesh: the train step's HLO
     must contain an all-reduce for the gradient mean."""
@@ -207,11 +386,18 @@ def test_config5_robocup_sharded_with_grad():
             return a.at[:, 0].set(push)  # blue robot 0: vx command
 
         final, traj = env.rollout_batch(states, policy, 10)
-        return traj.reward.mean()
+        # obs keeps the robot-state -> command dependence visible even
+        # before any robot reaches the ball
+        return traj.reward.mean() + 1e-3 * traj.obs.mean()
 
-    val, g = jax.jit(jax.value_and_grad(mean_ball_progress))(jnp.asarray(-0.5))
+    # stay inside the acceleration-limit band (|push| < max_accel*dt): the
+    # accel clip saturates for larger commands from rest, and a saturated
+    # clip's gradient is legitimately 0 — which would mask a dead chain
+    push0 = 0.25 * env.config.robot_max_accel * env.config.dt
+    val, g = jax.jit(jax.value_and_grad(mean_ball_progress))(jnp.asarray(push0))
     assert np.isfinite(float(val))
     assert np.isfinite(float(g))
+    assert float(g) != 0.0, "gradient through the sharded rollout died"
 
 
 def test_checkpointed_rollout_stays_on_fast_path():
