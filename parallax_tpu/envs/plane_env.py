@@ -133,16 +133,34 @@ class PlaneEnvMixin:
             s, ps.aux, con, actions, t_new
         )
 
-        # NaN watchdog over every body plane (SURVEY §5 elastic recovery)
+        obs = self.plane_obs(s, aux)
+
+        # NaN watchdog over every body plane, every aux plane, and the
+        # emitted reward/obs (SURVEY §5 elastic recovery; round-3 VERDICT
+        # weak #5: a NaN born in aux — terrain planes, env counters — must
+        # truncate the world the same step it appears, not only once it
+        # reaches a body plane.  Some poisons self-heal in aux, e.g. a NaN
+        # prev_shaping is overwritten by the post hook, but first emit one
+        # NaN reward — so emissions are checked too, and flagged worlds'
+        # reward/obs are zeroed so one bad world cannot NaN a fleet loss;
+        # for finite worlds the where() is a bitwise no-op.)
         finite = jnp.ones(ps.t.shape, bool)
-        for leaf in s:
-            finite &= jnp.isfinite(leaf).all(0)
+        aux_leaves = [
+            l for l in jax.tree.leaves(aux)
+            if jnp.issubdtype(l.dtype, jnp.floating)
+        ]
+        for leaf in list(s) + aux_leaves:
+            finite &= jnp.isfinite(leaf).all(tuple(range(leaf.ndim - 1)))
+        finite &= jnp.isfinite(reward)
+        finite &= jnp.isfinite(obs).all(tuple(range(1, obs.ndim)))
         truncated = ((t_new >= self.plane_max_steps) & ~terminated) | ~finite
         done = terminated | truncated
 
         ts = TimeStep(
-            obs=self.plane_obs(s, aux),
-            reward=reward,
+            obs=jnp.where(
+                finite.reshape((-1,) + (1,) * (obs.ndim - 1)), obs, 0.0
+            ),
+            reward=jnp.where(finite, reward, 0.0),
             terminated=terminated,
             truncated=truncated,
             info=info,

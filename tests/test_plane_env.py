@@ -112,3 +112,62 @@ def test_bouncer_reward_grad_finite_at_origin():
 
     gb = jax.grad(batch_rew)(states.bodies.pos)
     assert np.isfinite(np.asarray(gb)).all()
+
+
+def test_aux_nan_watchdog_truncates_same_step():
+    """A NaN born in an AUX plane — not a body plane — must truncate that
+    world the same step and auto-reset it (round-3 VERDICT weak #5: the
+    watchdog used to scan body planes only, so a poisoned aux leaked NaN
+    observations/rewards until it reached a body plane — prev_shaping never
+    does, it only contaminates the reward, forever)."""
+    from parallax_tpu.envs.lunar_lander import LunarLander
+
+    env = LunarLander()
+    B = 4
+    w = 2  # the poisoned world
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(0), B))
+    states = states.replace(
+        prev_shaping=states.prev_shaping.at[w].set(jnp.nan)
+    )
+
+    def policy(_, obs):
+        return jnp.zeros((obs.shape[0], 2), jnp.float32)
+
+    final, traj = jax.jit(lambda s: env.rollout_batch(s, policy, 3))(states)
+    trunc = np.asarray(traj.truncated)
+    # same-step truncation, only for the poisoned world
+    assert trunc[0, w]
+    assert not trunc[0, [i for i in range(B) if i != w]].any()
+    # the poisoned emission is sanitized (zeroed), never a NaN on the wire
+    r = np.asarray(traj.reward)
+    assert np.isfinite(r).all() and r[0, w] == 0.0
+    assert np.isfinite(np.asarray(traj.obs)).all()
+    # the auto-reset wiped the poison: later steps are clean
+    assert not trunc[1:].any()
+    assert np.isfinite(np.asarray(final.prev_shaping)).all()
+    assert np.isfinite(np.asarray(final.bodies.pos)).all()
+
+
+def test_terrain_nan_watchdog_truncates_same_step():
+    """A NaN in a PERSISTENT aux plane (the lander's terrain vertices) is
+    caught by the aux scan the same step — before any contact propagates it
+    into a body plane — and the reset regenerates finite terrain."""
+    from parallax_tpu.envs.lunar_lander import LunarLander
+
+    env = LunarLander()
+    B = 4
+    w = 1
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(0), B))
+    states = states.replace(terrain=states.terrain.at[w, 0].set(jnp.nan))
+
+    def policy(_, obs):
+        return jnp.zeros((obs.shape[0], 2), jnp.float32)
+
+    final, traj = jax.jit(lambda s: env.rollout_batch(s, policy, 3))(states)
+    trunc = np.asarray(traj.truncated)
+    assert trunc[0, w]
+    assert not trunc[0, [i for i in range(B) if i != w]].any()
+    assert not trunc[1:].any()
+    assert np.isfinite(np.asarray(traj.reward)).all()
+    assert np.isfinite(np.asarray(traj.obs)).all()
+    assert np.isfinite(np.asarray(final.terrain)).all()
