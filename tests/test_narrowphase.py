@@ -47,6 +47,27 @@ from parallax_tpu.geometry.shapes import (
 # with e.g. PARALLAX_TEST_N=1000000 for a soak run.
 N = int(os.environ.get("PARALLAX_TEST_N", 2000))
 
+# GJK/EPA suite width: the reference's heavy mode runs these at N/50
+# (test_collisions.py:25-44) — PARALLAX_TEST_N=10_000_000 -> 200k configs
+# per GJK/EPA suite (round-3 VERDICT #4; soak record in DESIGN.md §7b).
+N_GJK = max(300, N // 50)
+
+
+def chunked_vmap(f, *args, chunk=25_000):
+    """vmap ``f`` over the leading axis in ``chunk``-sized pieces (soak runs
+    put 200k+ configs through 32-step GJK scans and 48-step EPA edge tables
+    — one vmap would hold multi-GB intermediates on the CPU host)."""
+    n = args[0].shape[0]
+    if n <= chunk:
+        return jax.vmap(f)(*args)
+    outs = [
+        jax.vmap(f)(*(a[i : i + chunk] for a in args))
+        for i in range(0, n, chunk)
+    ]
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *outs
+    )
+
 
 def sup_poly(geom, d):
     return support_polygon(geom, d)
@@ -121,9 +142,10 @@ def test_circle_circle_matches_ground_truth():
 
 
 def test_circle_circle_gjk_agrees():
-    ca, ra, cb, rb = random_circles(jax.random.PRNGKey(1), 500)
-    res = jax.vmap(lambda a, r1, b, r2: gjk(sup_circle, (a, r1), sup_circle, (b, r2)))(
-        ca, ra, cb, rb
+    ca, ra, cb, rb = random_circles(jax.random.PRNGKey(1), N_GJK)
+    res = chunked_vmap(
+        lambda a, r1, b, r2: gjk(sup_circle, (a, r1), sup_circle, (b, r2)),
+        ca, ra, cb, rb,
     )
     dist = np.asarray(jnp.linalg.norm(ca - cb, axis=-1))
     rsum = np.asarray(ra + rb)
@@ -135,10 +157,10 @@ def test_circle_circle_gjk_agrees():
 
 
 def test_circle_circle_epa_penetration():
-    ca, ra, cb, rb = random_circles(jax.random.PRNGKey(2), 300)
+    ca, ra, cb, rb = random_circles(jax.random.PRNGKey(2), N_GJK)
     # force overlap: move b within (ra+rb) of a
     dirn = (cb - ca) / jnp.linalg.norm(cb - ca, axis=-1, keepdims=True)
-    frac = jax.random.uniform(jax.random.PRNGKey(3), (300, 1), minval=0.2, maxval=0.95)
+    frac = jax.random.uniform(jax.random.PRNGKey(3), (N_GJK, 1), minval=0.2, maxval=0.95)
     cb = ca + dirn * frac * (ra + rb)[:, None]
 
     def one(a, r1, b, r2):
@@ -146,7 +168,7 @@ def test_circle_circle_epa_penetration():
         pen = epa(sup_circle, (a, r1), sup_circle, (b, r2), res.simplex, 48)
         return res.colliding, pen
 
-    col, pen = jax.vmap(one)(ca, ra, cb, rb)
+    col, pen = chunked_vmap(one, ca, ra, cb, rb)
     col = np.asarray(col)
     assert_rate(col, 0.98, "cc epa: forced overlaps collide", seeds=(2, 3))
     dist = np.asarray(jnp.linalg.norm(ca - cb, axis=-1))
@@ -364,7 +386,7 @@ def test_box_polygon_agrees_with_gjk():
 
 
 def test_epa_polygon_close_to_sat_mtv():
-    va = random_polygons(jax.random.PRNGKey(20), 300)
+    va = random_polygons(jax.random.PRNGKey(20), N_GJK)
     vb = va + jnp.array([0.3, 0.1])  # guaranteed deep overlap with itself
     em = _poly_edge_mask(5)
 
@@ -374,7 +396,7 @@ def test_epa_polygon_close_to_sat_mtv():
         sat = contact_polygon_polygon(a, em, b, em)
         return res.colliding, pen, sat.penetration
 
-    col, pen_epa, pen_sat = jax.vmap(one)(va, vb)
+    col, pen_epa, pen_sat = chunked_vmap(one, va, vb)
     col = np.asarray(col)
     assert col.mean() > 0.95
     d_epa = np.linalg.norm(np.asarray(pen_epa), axis=-1)
