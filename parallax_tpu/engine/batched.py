@@ -592,19 +592,30 @@ def collide_batched(world, s: _SoA, terrain_override=None) -> ContactsBM:
         the full repeat-padded V rows materialized up-to-2x dead rows in
         the hot [G, V, B] concats — measured 30 us/step at B=8192)."""
         if terrain_override and any(i in terrain_override for i in idx):
-            # build override planes for the whole side
+            # splice override planes (world-frame already: static bodies)
+            # with world-frame transforms of the side's OTHER parts.  Round-4
+            # bug fix: the non-override parts used to get their LOCAL verts
+            # broadcast — no rotation, no body position — so a movable part
+            # sharing a side with overridden terrain (lander hull/legs on
+            # side B of the hull-leg pairs) was collided as phantom
+            # geometry at the origin, silently missing real part-part
+            # contacts (tests/test_batched_engine.py::
+            # test_override_side_keeps_movable_parts_world_frame).
+            non_idx = [i for i in idx if i not in terrain_override]
+            if non_idx:
+                wxn, wyn = _side_verts(world, s, np.asarray(non_idx))
             lx = []
             ly = []
+            j = 0
             for i in idx:
                 if i in terrain_override:
                     ox, oy = terrain_override[i]
                     lx.append(ox[:vn])
                     ly.append(oy[:vn])
                 else:
-                    lv = world.parts.verts[i]
-                    lx.append(jnp.broadcast_to(lv[:vn, 0:1], (vn, B)))
-                    ly.append(jnp.broadcast_to(lv[:vn, 1:2], (vn, B)))
-            # overrides are world-frame already (static bodies): add nothing
+                    lx.append(wxn[j, :vn])
+                    ly.append(wyn[j, :vn])
+                    j += 1
             return jnp.stack(lx), jnp.stack(ly)
         wx, wy = _side_verts(world, s, np.asarray(idx))
         return wx[:, :vn, :], wy[:, :vn, :]

