@@ -349,7 +349,7 @@ def main():
     for ph in list(PHASES) + ["env/other"]:
         ops = per_phase_ops.get(ph)
         if ops:
-            top = ops.most_common(4)
+            top = ops.most_common(15)
             print(f"# {ph} top ops:",
                   ", ".join(f"{n} ({d / inner:.1f}us)" for n, d in top))
     if unattributed:
