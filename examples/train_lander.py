@@ -29,6 +29,10 @@ def main():
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--horizon", type=int, default=100)
     p.add_argument("--lr", type=float, default=3e-3)
+    p.add_argument("--chunk", type=int, default=None,
+                   help="per-chip wave size for fleets above one chunk per "
+                        "chip (mesh-aware chunked rollout; default: "
+                        "parallel.rollout.ROLLOUT_CHUNK)")
     args = p.parse_args()
 
     env = LunarLander()
@@ -50,7 +54,8 @@ def main():
     opt_state = optimizer.init(params)
     train_step = jax.jit(
         make_train_step(env, policy, optimizer, args.horizon,
-                        checkpoint_segments=4)
+                        checkpoint_segments=4,
+                        max_chunk=args.chunk, mesh=mesh)
     )
 
     states = jax.vmap(env.reset)(jax.random.split(k3, args.batch))
