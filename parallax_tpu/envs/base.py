@@ -92,12 +92,19 @@ class Environment:
         # state AND emissions: some poisons self-heal in the state (e.g. a
         # NaN prev_shaping is overwritten next step) but emit one NaN
         # reward — zero the flagged emissions so one bad step cannot NaN a
-        # training loss (bitwise no-op for finite steps)
+        # training loss (bitwise no-op for finite steps).  obs is a pytree
+        # (TimeStep.obs: Any): only float leaves can carry NaN, only they
+        # are checked/zeroed.
         bad = ~(_all_finite(new_state) & _all_finite((ts.reward, ts.obs)))
         ts = ts.replace(
             truncated=ts.truncated | bad,
             reward=jnp.where(bad, 0.0, ts.reward),
-            obs=jnp.where(bad, jnp.zeros_like(ts.obs), ts.obs),
+            obs=jax.tree_util.tree_map(
+                lambda o: jnp.where(bad, jnp.zeros_like(o), o)
+                if jnp.issubdtype(o.dtype, jnp.floating)
+                else o,
+                ts.obs,
+            ),
         )
 
         reset_key, carry_key = jax.random.split(_get_key(new_state))
@@ -266,7 +273,10 @@ def evaluate(
 
 
 def _all_finite_per_world(tree) -> jnp.ndarray:
-    """[B] bool: every float leaf finite, reduced over non-batch axes."""
+    """[B] bool: every float leaf finite, reduced over non-batch axes.
+
+    A tree with NO float leaves is vacuously finite (scalar True, which
+    broadcasts into any [B] mask)."""
     leaves = [
         l
         for l in jax.tree_util.tree_leaves(tree)
@@ -276,7 +286,7 @@ def _all_finite_per_world(tree) -> jnp.ndarray:
     for l in leaves:
         r = jnp.all(jnp.isfinite(l), axis=tuple(range(1, l.ndim)))
         ok = r if ok is None else ok & r
-    return ok
+    return jnp.asarray(True) if ok is None else ok
 
 
 class BatchedEnvironmentMixin:
@@ -309,15 +319,21 @@ class BatchedEnvironmentMixin:
         bad = ~_all_finite_per_world(self.watchdog_leaves(new_states))
         # emissions too: a state-side self-healing poison still emits one
         # NaN reward/obs — flag it and zero the emission (bitwise no-op for
-        # finite worlds)
+        # finite worlds).  obs is a pytree (TimeStep.obs: Any): only float
+        # leaves can carry NaN, only they are checked/zeroed.
         bad |= ~jnp.isfinite(ts.reward)
-        bad |= ~jnp.isfinite(ts.obs).reshape(ts.obs.shape[0], -1).all(1)
+        bad |= ~_all_finite_per_world(ts.obs)
         ts = ts.replace(
             truncated=ts.truncated | bad,
             reward=jnp.where(bad, 0.0, ts.reward),
-            obs=jnp.where(
-                bad.reshape((-1,) + (1,) * (ts.obs.ndim - 1)),
-                0.0,
+            obs=jax.tree_util.tree_map(
+                lambda o: jnp.where(
+                    bad.reshape((-1,) + (1,) * (o.ndim - 1)),
+                    jnp.zeros_like(o),
+                    o,
+                )
+                if jnp.issubdtype(o.dtype, jnp.floating)
+                else o,
                 ts.obs,
             ),
         )

@@ -59,6 +59,16 @@ def chunked_rollout(rollout_fn: Callable, states, n_steps: int, batch: int,
     stay bitwise identical to the single-device chunked run.
     """
     chunk = ROLLOUT_CHUNK if max_chunk is None else max_chunk
+    if mesh is not None and axis not in mesh.shape:
+        # meshes built with a custom axis name (make_world_mesh(axis=...))
+        # resolve automatically when unambiguous
+        if len(mesh.axis_names) == 1:
+            axis = mesh.axis_names[0]
+        else:
+            raise ValueError(
+                f"axis {axis!r} not in mesh axes {mesh.axis_names}; pass "
+                "axis= explicitly for multi-axis meshes"
+            )
     n_dev = 1 if mesh is None else int(mesh.shape[axis])
     if not chunk or batch <= chunk * n_dev:
         return rollout_fn(states)
@@ -291,6 +301,15 @@ def batched_rollout(env, states, policy_fn, policy_params, n_steps,
     if fast is not None and not checkpoint_segments:
         return fast(states, policy_fn, n_steps, policy_params,
                     max_chunk=max_chunk, mesh=mesh)
+    if max_chunk is not None or mesh is not None:
+        # same loud-rejection policy as the checkpoint_segments guard: the
+        # vmap fallback has no wave machinery, and silently running one
+        # giant wave re-enters the measured >8k VMEM collapse the caller
+        # asked max_chunk to prevent
+        raise ValueError(
+            "max_chunk/mesh require the plane-space fast path "
+            "(env.rollout_batch); this env only has the vmapped fallback"
+        )
     final, tss = jax.vmap(
         lambda s: rollout(env, s, policy_fn, policy_params, n_steps, checkpoint_segments)
     )(states)

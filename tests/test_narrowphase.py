@@ -50,7 +50,9 @@ N = int(os.environ.get("PARALLAX_TEST_N", 2000))
 # GJK/EPA suite width: the reference's heavy mode runs these at N/50
 # (test_collisions.py:25-44) — PARALLAX_TEST_N=10_000_000 -> 200k configs
 # per GJK/EPA suite (round-3 VERDICT #4; soak record in DESIGN.md §7b).
-N_GJK = max(300, N // 50)
+# Floor 500 = the widest pre-scaling fixed size, so default CI coverage
+# never shrinks.
+N_GJK = max(500, N // 50)
 
 
 def chunked_vmap(f, *args, chunk=25_000):

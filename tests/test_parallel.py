@@ -441,3 +441,35 @@ def test_non_divisible_checkpoint_segments_raise():
     with pytest.raises(ValueError, match="must divide"):
         rollout(env, jax.tree_util.tree_map(lambda x: x[0], states), policy,
                 None, 10, checkpoint_segments=3)
+
+
+def test_mesh_custom_axis_name_resolves():
+    """A 1-D mesh built with a non-default axis name resolves automatically
+    in the chunked rollout (axis derived from the mesh, round-4 review)."""
+    env = LunarLander()
+    mesh = make_world_mesh(axis="data")
+    B = 8 * 6
+    states = shard_batch(
+        env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(0), B)),
+        mesh, axis="data",
+    )
+
+    def policy(_, obs):
+        return jnp.zeros((obs.shape[0], 2), jnp.float32)
+
+    final, traj = jax.jit(
+        lambda s: env.rollout_batch(s, policy, 2, max_chunk=4, mesh=mesh)
+    )(states)
+    assert len(final.bodies.pos.sharding.device_set) == 8
+
+
+def test_vmap_fallback_rejects_chunking():
+    """An env without the plane fast path must reject max_chunk/mesh loudly
+    instead of silently running one giant unchunked wave (round-4 review)."""
+
+    class NoFastPath:
+        rollout_batch = None
+
+    with pytest.raises(ValueError, match="fast path"):
+        batched_rollout(NoFastPath(), None, lambda p, o: o, None, 2,
+                        max_chunk=4)

@@ -200,11 +200,14 @@ def traffic_model(env, B):
     obs_rows = int(env.observation_size)
     f = 4 * B  # bytes per [*, B] f32 row
     planes = 6 * n
+    # joint-free worlds compile the joints phase away entirely: charging it
+    # bytes would inflate the conservative TOTAL bound
+    has_joints = int(world.joints.n_joints > 0)
     return {
         "integrate": (planes + planes) * f,
         "collide": (planes + aux_rows + 6 * C) * f,
         "solve_contacts": (6 * C + planes + planes) * f,
-        "joints": (planes + planes) * f,
+        "joints": (planes + planes) * f * has_joints,
         # obs/reward/flags/reset merge: planes+aux in, obs+reward+2 flags
         # + merged planes/aux out
         "env/other": (2 * (planes + aux_rows) + obs_rows + 4) * f,
@@ -299,6 +302,8 @@ def main():
     env_name = "lander"
     if "--env" in args:
         i = args.index("--env")
+        if i + 1 >= len(args):
+            raise SystemExit("--env needs a value: lander|robocup|billiards|bouncer")
         env_name = args[i + 1]
         del args[i : i + 2]
     B = int(args[0]) if args else 8192
