@@ -12,11 +12,12 @@ the reference's
 * EPA penetration vector           (/root/reference/cotix/_collisions.py:115-273)
 * circle_vs_circle contact         (/root/reference/cotix/_contacts.py:30-58)
 * circle_vs_polygon contact        (/root/reference/cotix/_contacts.py:157-202)
+* polygon_vs_polygon contact       (/root/reference/cotix/_contacts.py:205-267,294-315)
 * impulse resolution               (/root/reference/cotix/_collision_resolution.py:68-151)
 * RandomizedCollider resolution order
                                    (/root/reference/cotix/_colliders.py:274-336)
 
-It drives BASELINE configs 1-2 end-to-end on the host so the repo's
+It drives BASELINE configs 1-3 end-to-end on the host so the repo's
 reference-mode pipeline can be asserted against expected values the repo
 did NOT generate (tests/test_numpy_oracle.py).  All arithmetic is float32
 to match the pipeline's dtype; agreement is bounded by fma/fusion ULP
@@ -493,3 +494,93 @@ def step_world(bodies, detect, dt, gravity):
         bodies[i] = b1
         bodies[j] = b2
     return bodies
+
+
+# ---------------------------------------------------------------------------
+# polygon vs polygon (config 3): _contacts.py:205-267, 294-315
+# ---------------------------------------------------------------------------
+
+
+def polygon_get_edges(verts):
+    """Polygon.get_edges (_convex_shapes.py:160-163): edge i = (v_i, v_{i-1})."""
+    v = f32(verts)
+    prev = np.roll(v, 1, axis=0)
+    return np.stack([v, prev], axis=1)  # [E, 2, 2]
+
+
+def polygon_contains(verts, point):
+    """Polygon.contains (_convex_shapes.py:167-174): all edge-side signs equal."""
+    edges = polygon_get_edges(verts)
+    dots = np.array(
+        [np.dot(point - e[0], fast_normal(e[0] - e[1])) for e in edges]
+    )
+    signs = np.sign(dots)
+    return bool(np.all(signs == signs[0]))
+
+
+def _contact_from_edges(edges_a, vertices_a, in_a, edges_b, vertices_b, in_b):
+    """_contact_from_edges (_contacts.py:205-267): mean of contained
+    vertices + pairwise edge intersections; nan when none.  Accumulation
+    order transcribed exactly: A's vertices, B's vertices, intersections
+    (B-edge-major)."""
+
+    def edge_vs_edge(edge_a, edge_b):
+        p = edge_a[0]
+        r = edge_a[1] - edge_a[0]
+        q = edge_b[0]
+        s_ = edge_b[1] - edge_b[0]
+        c = cross2(r, s_)
+        if c == 0.0:
+            return f32([np.nan, np.nan])
+        t = cross2(q - p, s_) / c
+        u = cross2(q - p, r) / c
+        if (t >= 0.0) and (t <= 1.0) and (u >= 0.0) and (u <= 1.0):
+            return p + r * t
+        return f32([np.nan, np.nan])
+
+    intersections = [
+        edge_vs_edge(ea, eb) for eb in edges_b for ea in edges_a
+    ]
+    n = F(0.0)
+    avg = np.zeros(2, dtype=F)
+    for vertex in vertices_a:
+        if in_b(vertex):
+            avg = avg + vertex
+            n = n + 1
+    for vertex in vertices_b:
+        if in_a(vertex):
+            avg = avg + vertex
+            n = n + 1
+    for inter in intersections:
+        if not np.any(np.isnan(inter)):
+            avg = avg + inter
+            n = n + 1
+    if n > 0.0:
+        return avg / n
+    return f32([np.nan, np.nan])
+
+
+def polygon_vs_polygon(verts_a, verts_b, initial_direction):
+    """polygon_vs_polygon (_contacts.py:294-315): GJK + min(48, |A|+|B|+1)
+    EPA iterations + edges-mean contact point."""
+    va, vb = f32(verts_a), f32(verts_b)
+    iters = min(48, len(va) + len(vb) + 1)
+    sup_a, sup_b = polygon_support(va), polygon_support(vb)
+    exists, simplex = check_for_collision_convex(sup_a, sup_b, initial_direction)
+    if not exists:
+        return ContactInfo.nan()
+    pen = compute_penetration_vector_convex(sup_a, sup_b, simplex, iters)
+    point = _contact_from_edges(
+        polygon_get_edges(va), va, lambda p: polygon_contains(va, p),
+        polygon_get_edges(vb), vb, lambda p: polygon_contains(vb, p),
+    )
+    return ContactInfo(pen, point)
+
+
+def world_polygon(body, local_verts):
+    """Body-frame polygon -> world frame (c*lx - s*ly + px, s*lx + c*ly + py)."""
+    lv = f32(local_verts)
+    c, s_ = np.cos(body.angle), np.sin(body.angle)
+    wx = c * lv[:, 0] - s_ * lv[:, 1] + body.pos[0]
+    wy = s_ * lv[:, 0] + c * lv[:, 1] + body.pos[1]
+    return np.stack([wx, wy], axis=1).astype(F)
