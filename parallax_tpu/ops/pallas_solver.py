@@ -38,9 +38,13 @@ from parallax_tpu.dynamics.impulses import ContactSolverConfig
 
 import os as _os
 
-# World-batch tile per kernel instance.  1024 is the measured sweet spot
-# (2048 exceeded the 16MB VMEM scoped limit pre-bundling; 512 underutilizes
-# lanes); PARALLAX_TILE_B overrides for tile sweeps on new hardware.
+# World-batch tile per kernel instance.  1024 is the measured sweet spot;
+# round-4 re-sweep with the raised scoped-VMEM limit: 2048 is
+# statistically FLAT on the lander (3-pair alternating A/B: means
+# 29.78M vs 29.88M, run-to-run std ~0.25M — inside noise) and 4096 LOSES
+# ~10% (working set past the VMEM sweet spot), so the cap stays at the
+# long-validated 1024.  PARALLAX_TILE_B overrides for sweeps on new
+# hardware; tile_for still caps by the live-row VMEM budget per table.
 TILE_B = int(_os.environ.get("PARALLAX_TILE_B", "1024"))
 
 # The kernel keeps ~LIVE_FACTOR [C, tile] f32 temporaries live (inputs,
