@@ -47,6 +47,16 @@ def chunked_rollout(rollout_fn: Callable, states, n_steps: int, batch: int,
     wave, which silently re-enters the measured >8k VMEM collapse (round-2
     VERDICT weak #5).  ``max_chunk=0`` disables chunking explicitly.
 
+    **Memory under grad:** chunking bounds the FORWARD working set (one
+    wave at a time), but reverse-mode stacks every wave's remat residuals
+    (``lax.map`` -> scan -> [k, ...] stacked saves), so backward memory
+    still scales with the TOTAL batch — measured on v5e: training at
+    B=16384, horizon 100, 4 segments OOMs chunked exactly like unchunked
+    (375 MB per stacked residual buffer).  For training above one chunk
+    per chip, shard over more chips (the mesh path) or split the batch
+    into separate optimizer steps; chunking is the ROLLOUT-throughput and
+    multi-chip-layout tool.
+
     **Mesh-aware fleets (round-3 VERDICT #1):** ``ROLLOUT_CHUNK`` is a
     *per-chip* optimum, so on a batch sharded over a ``mesh`` a wave must
     span every device at ``chunk`` worlds *each* (global wave = chunk x
