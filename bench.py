@@ -214,6 +214,7 @@ def child_main(args) -> None:
         from parallax_tpu.envs.robocup import RoboCup
 
         print(json.dumps(bench_env(RoboCup(), "robocup", batch=args.batch)), flush=True)
+        print(json.dumps(bench_env(Billiards(), "billiards8", batch=args.batch)), flush=True)
         # 48-body stress world: 1128 circle-circle + 192 circle-box lanes
         print(json.dumps(bench_env(
             Billiards(BilliardsConfig(n_object=47)), "billiards48", batch=args.batch
