@@ -85,3 +85,40 @@ def test_renderer_bbox_and_offscreen():
     r.draw_polygon(a, quad)
     r.draw_polygon(b, quad[::-1])
     assert (a == b).all() and a.max() > 0
+
+
+def test_checkpoint_sharded_fleet_resume():
+    """Checkpoint/resume x the worlds mesh (the fleet deployment): a
+    SHARDED batch saves, restores onto the mesh with its sharding pinned by
+    the target, and the resumed rollout is bitwise identical to the
+    uninterrupted one."""
+    from parallax_tpu.parallel.mesh import make_world_mesh, shard_batch
+
+    env = LunarLander()
+    mesh = make_world_mesh()
+    B = 8 * 3
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(2), B))
+    states = shard_batch(states, mesh)
+
+    def policy(_, obs):
+        return jnp.tile(jnp.array([0.4, 0.0]), (obs.shape[0], 1))
+
+    roll = jax.jit(lambda s: env.rollout_batch(s, policy, 5))
+    mid, _ = roll(states)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "ckpt3")
+        ckpt.save(path, mid)
+        restored = ckpt.restore(path, mid)
+
+    # the restore came back sharded over the mesh (target pins shardings)
+    assert len(restored.bodies.pos.sharding.device_set) == 8
+
+    cont, traj_a = roll(mid)
+    resu, traj_b = roll(restored)
+    np.testing.assert_array_equal(
+        np.asarray(cont.bodies.pos), np.asarray(resu.bodies.pos)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(traj_a.reward), np.asarray(traj_b.reward)
+    )
