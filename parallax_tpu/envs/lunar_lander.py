@@ -565,10 +565,22 @@ def terrain_planes_batch(keys):
     qx = jnp.stack([x0, x0, x1, x1], axis=1)  # [7, 4, B]
     qy = jnp.stack([h0, bottom, h1, bottom], axis=1)
 
-    # order_clockwise: stable ascending atan2 sort around the centroid
+    # order_clockwise: stable ascending atan2 sort around the centroid.
+    # The sort KEY is a pseudo-angle (diamond angle), not atan2: it is
+    # strictly monotone in the true angle over (-pi, pi] (right half maps
+    # to [-1, 1], upper-left to (1, 2], lower-left to (-2, -1)), so the
+    # resulting ORDER — and therefore the output bits, which are a pure
+    # permutation of the inputs — matches the vmapped order_clockwise
+    # (atan2 argsort) whenever corner directions are separated beyond
+    # float rounding.  Terrain quads satisfy that: |dx| >= half the
+    # minimum segment width (>= 0.5), so no two corners share a direction
+    # and the two keys order identically.  atan2 is ~10x the VPU ops of
+    # this 4-op key, and this runs per step in the auto-reset fresh path.
     cx = qx.mean(axis=1, keepdims=True)
     cy = qy.mean(axis=1, keepdims=True)
-    ang = jnp.arctan2(qy - cy, qx - cx)  # [7, 4, B]
+    dx, dy = qx - cx, qy - cy
+    p = dy / (jnp.abs(dx) + jnp.abs(dy))
+    ang = jnp.where(dx >= 0.0, p, jnp.where(dy >= 0.0, 2.0 - p, -2.0 - p))
     idx = jnp.broadcast_to(jnp.arange(4.0)[None, :, None], ang.shape)
 
     def cswap(i, j, ang, idx, qx, qy):
