@@ -9,7 +9,9 @@ value / 1e7 (>1.0 beats the target).
 
 Flags: ``--all`` benches RoboCup + the 48-ball billiards stress world too;
 ``--sweep`` runs the batch-size ladder 2k..32k (scaling-curve diagnosis);
-``--batch N`` overrides the batch for the headline line.
+``--batch N`` overrides the batch for the headline line; ``--train``
+benches the differentiable-physics TRAIN step (fwd+bwd+Adam through 100
+contact steps) instead of rollouts.
 
 Resilience (round-3 VERDICT #1): the axon TPU tunnel is known-flaky — it
 can fail backend init with UNAVAILABLE (BENCH_r02.json) or hang a device
@@ -190,6 +192,64 @@ def bench_env(env, name, inner=500, chain=3, batch=DEFAULT_BATCH):
     }
 
 
+def bench_train(env, name, batch=DEFAULT_BATCH, horizon=100, chain=3):
+    """Full differentiable-physics TRAIN step throughput (fwd+bwd+Adam).
+
+    The flagship learning program (examples/train_lander.py,
+    parallel/rollout.make_train_step): an analytic-policy-gradient update
+    through ``horizon`` contact-dynamics steps with 4 remat segments and an
+    Adam update.  Reported in env-steps/s (batch x horizon per optimizer
+    step) so it shares an axis with the rollout lines; vs_baseline keeps
+    the 10M rollout target as the denominator for round-over-round
+    comparability (there is no published train baseline — BASELINE.md).
+    B=16384/h=100 OOMs on one v5e chip (parallel/rollout.py memory note);
+    8192 is the largest power-of-two train batch that fits.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from parallax_tpu.parallel.rollout import make_train_step
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "w1": jax.random.normal(k1, (env.observation_size, 32)) * 0.3,
+        "b1": jnp.zeros(32),
+        "w2": jax.random.normal(k2, (32, env.action_size)) * 0.1,
+        "b2": jnp.zeros(env.action_size),
+    }
+
+    def policy(p, obs):
+        h = jnp.tanh(obs @ p["w1"] + p["b1"])
+        return jnp.tanh(h @ p["w2"] + p["b2"])
+
+    optimizer = optax.adam(3e-3)
+    opt_state = optimizer.init(params)
+    train_step = jax.jit(
+        make_train_step(env, policy, optimizer, horizon, checkpoint_segments=4)
+    )
+    states = env.reset_fn_batch(jax.random.split(k3, batch))
+
+    params, opt_state, states, m = train_step(params, opt_state, states)
+    jax.block_until_ready(m["loss"])
+
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(chain):
+            params, opt_state, states, m = train_step(params, opt_state, states)
+        jax.block_until_ready(m["loss"])
+        dt = time.perf_counter() - t0
+        best = max(best, batch * horizon * chain / dt)
+
+    return {
+        "metric": f"{name}_train_env_steps_per_sec_per_chip_batch{batch}_h{horizon}",
+        "value": round(best, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(best / TARGET, 4),
+    }
+
+
 def child_main(args) -> None:
     import jax
 
@@ -203,6 +263,18 @@ def child_main(args) -> None:
     if args.sweep:
         for b in (2048, 4096, 8192, 16384, 32768):
             print(json.dumps(bench_env(LunarLander(), "lunarlander", batch=b)), flush=True)
+        return
+
+    if args.train:
+        print(json.dumps(bench_train(
+            LunarLander(), "lunarlander", batch=args.batch
+        )), flush=True)
+        if args.all:
+            from parallax_tpu.envs.robocup import RoboCup
+
+            print(json.dumps(bench_train(
+                RoboCup(), "robocup", batch=args.batch
+            )), flush=True)
         return
 
     # headline line (the driver records exactly one JSON line)
@@ -231,6 +303,10 @@ def _parse_args(argv):
                    help="also bench RoboCup and billiards48")
     p.add_argument("--sweep", action="store_true",
                    help="batch ladder 2k..32k (ignores --batch)")
+    p.add_argument("--train", action="store_true",
+                   help="bench the differentiable-physics TRAIN step "
+                        "(fwd+bwd+Adam, horizon 100) instead of rollouts; "
+                        "with --all also RoboCup")
     p.add_argument("--child", action="store_true",
                    help="(internal) run the benchmark directly, no retry shell")
     p.add_argument("--child-timeout", type=float, default=1800.0,
@@ -244,6 +320,8 @@ def _parse_args(argv):
     args = p.parse_args(argv)
     if args.sweep and args.batch != DEFAULT_BATCH:
         p.error("--batch has no effect with --sweep; drop one of them")
+    if args.sweep and args.train:
+        p.error("--sweep and --train are mutually exclusive")
     return args
 
 
