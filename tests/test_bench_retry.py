@@ -121,3 +121,23 @@ def test_arg_parsing():
         bench._parse_args(["--batch"])  # flag without a value
     with pytest.raises(SystemExit):
         bench._parse_args(["--sweep", "--batch", "4096"])  # conflicting
+
+
+def test_arg_parsing_train():
+    args = bench._parse_args(["--train", "--all"])
+    assert args.train and args.all
+    with pytest.raises(SystemExit):
+        bench._parse_args(["--sweep", "--train"])  # mutually exclusive
+
+
+def test_bench_train_smoke():
+    """bench_train runs the real make_train_step path end-to-end (tiny
+    shapes) and emits a driver-format record."""
+    from parallax_tpu.envs.lunar_lander import LunarLander
+
+    rec = bench.bench_train(LunarLander(), "lander", batch=8, horizon=8,
+                            chain=1)
+    assert rec["metric"] == "lander_train_env_steps_per_sec_per_chip_batch8_h8"
+    assert rec["unit"] == "env-steps/s"
+    assert rec["value"] > 0
+    assert rec["vs_baseline"] == round(rec["value"] / bench.TARGET, 4)
