@@ -192,7 +192,8 @@ def bench_env(env, name, inner=500, chain=3, batch=DEFAULT_BATCH):
     }
 
 
-def bench_train(env, name, batch=DEFAULT_BATCH, horizon=100, chain=3):
+def bench_train(env, name, batch=DEFAULT_BATCH, horizon=100, chain=3,
+                checkpoint_segments=4, max_chunk=None):
     """Full differentiable-physics TRAIN step throughput (fwd+bwd+Adam).
 
     The flagship learning program (examples/train_lander.py,
@@ -225,20 +226,28 @@ def bench_train(env, name, batch=DEFAULT_BATCH, horizon=100, chain=3):
 
     optimizer = optax.adam(3e-3)
     opt_state = optimizer.init(params)
-    train_step = jax.jit(
-        make_train_step(env, policy, optimizer, horizon, checkpoint_segments=4)
-    )
+    train_step = jax.jit(make_train_step(
+        env, policy, optimizer, horizon,
+        checkpoint_segments=checkpoint_segments, max_chunk=max_chunk,
+    ))
     states = env.reset_fn_batch(jax.random.split(k3, batch))
 
     params, opt_state, states, m = train_step(params, opt_state, states)
-    jax.block_until_ready(m["loss"])
+    float(jax.device_get(m["loss"]))
 
+    # Sync each timed region with a HOST FETCH of the loss, not
+    # block_until_ready: through the axon tunnel block_until_ready has been
+    # observed returning before dispatched work completed (a 458 ms train
+    # step reported as 0.2 ms); a device_get of a program output cannot
+    # return early.  One fetch per multi-step region keeps the ~25 ms RTT
+    # out of the measurement (same chained-dispatch rationale as
+    # bench_env).
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(chain):
             params, opt_state, states, m = train_step(params, opt_state, states)
-        jax.block_until_ready(m["loss"])
+        float(jax.device_get(m["loss"]))
         dt = time.perf_counter() - t0
         best = max(best, batch * horizon * chain / dt)
 

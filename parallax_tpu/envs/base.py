@@ -105,6 +105,15 @@ class Environment:
                 else o,
                 ts.obs,
             ),
+            # info rides the same channel into fleet metrics reductions
+            # (mean fuel, mean ball_speed): a NaN info leaf from a flagged
+            # world would NaN the aggregate exactly like reward would
+            info=jax.tree_util.tree_map(
+                lambda o: jnp.where(bad, jnp.zeros_like(o), o)
+                if jnp.issubdtype(o.dtype, jnp.floating)
+                else o,
+                ts.info,
+            ),
         )
 
         reset_key, carry_key = jax.random.split(_get_key(new_state))
@@ -335,6 +344,18 @@ class BatchedEnvironmentMixin:
                 if jnp.issubdtype(o.dtype, jnp.floating)
                 else o,
                 ts.obs,
+            ),
+            # info feeds fleet metrics reductions (mean fuel/ball_speed):
+            # a NaN info leaf from a flagged world would NaN the aggregate
+            info=jax.tree_util.tree_map(
+                lambda o: jnp.where(
+                    bad.reshape((-1,) + (1,) * (o.ndim - 1)),
+                    jnp.zeros_like(o),
+                    o,
+                )
+                if jnp.issubdtype(o.dtype, jnp.floating)
+                else o,
+                ts.info,
             ),
         )
 

@@ -31,7 +31,7 @@ from parallax_tpu.dynamics.joints import Joints
 from parallax_tpu.engine.world import BodyDef, World, WorldConfig
 from parallax_tpu.envs.base import BatchedEnvironmentMixin, Environment, TimeStep
 from parallax_tpu.envs.plane_env import PlaneEnvMixin
-from parallax_tpu.geometry.math import order_clockwise, rotate, safe_norm
+from parallax_tpu.geometry.math import rotate, safe_norm
 from parallax_tpu.geometry.shapes import MAX_VERTS, polygon
 
 # ---- reference constants (_lunar_lander.py:11-23) -------------------------
@@ -141,11 +141,32 @@ class LanderState(struct.PyTreeNode):
         return self.terrain.reshape(self.terrain.shape[:-1] + (N_TERRAIN, MAX_VERTS, 2))
 
 
+def _pseudo_angle(dx, dy):
+    """Diamond pseudo-angle: strictly monotone in ``atan2(dy, dx)``.
+
+    Maps the right half-plane to [-1, 1], upper-left to (1, 2], lower-left
+    to (-2, -1) — the same total order over directions as atan2 at ~1/10th
+    the VPU ops (the terrain sampler runs per step in the auto-reset fresh
+    path).  Ordering by this key differs from ordering by float32 atan2
+    only when two directions are so close that atan2 rounds them EQUAL
+    (measured: corners within ~2e-6) — there the reference's stable
+    argsort keeps input order while this key still orders strictly.  That
+    tie case is a physically degenerate quad (two near-coincident
+    vertices); both paths below share this key, so batched == vmapped
+    terrain stays bitwise BY CONSTRUCTION, and the divergence vs the
+    reference's atan2 convention (_geometry_utils.py:60-67) is confined
+    to exact-float-tie seeds (golden configs pin the shipped seeds)."""
+    p = dy / (jnp.abs(dx) + jnp.abs(dy))
+    return jnp.where(dx >= 0.0, p, jnp.where(dy >= 0.0, 2.0 - p, -2.0 - p))
+
+
 def terrain_vertices(key) -> jnp.ndarray:
     """Reference terrain sampler (_lunar_lander.py:108-132), in-graph.
 
     Same key-split layout and uniform ranges as the reference; returns
     [7, MAX_VERTS, 2] clockwise-ordered, repeat-padded world-frame quads.
+    Clockwise ordering uses the :func:`_pseudo_angle` key (see its
+    docstring for the tie-case divergence vs the reference's atan2 sort).
     """
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     heights = jax.random.uniform(k1, (8,), minval=-5.0, maxval=5.0)
@@ -179,7 +200,9 @@ def terrain_vertices(key) -> jnp.ndarray:
         ],
         axis=-2,
     )  # [7, 4, 2]
-    quads = order_clockwise(quads)
+    rel = quads - jnp.mean(quads, axis=-2, keepdims=True)
+    idx = jnp.argsort(_pseudo_angle(rel[..., 0], rel[..., 1]), axis=-1)
+    quads = jnp.take_along_axis(quads, idx[..., None], axis=-2)
     pad_idx = [0, 1, 2, 3] + [3] * (MAX_VERTS - 4)
     return quads[:, pad_idx, :]
 
@@ -565,22 +588,13 @@ def terrain_planes_batch(keys):
     qx = jnp.stack([x0, x0, x1, x1], axis=1)  # [7, 4, B]
     qy = jnp.stack([h0, bottom, h1, bottom], axis=1)
 
-    # order_clockwise: stable ascending atan2 sort around the centroid.
-    # The sort KEY is a pseudo-angle (diamond angle), not atan2: it is
-    # strictly monotone in the true angle over (-pi, pi] (right half maps
-    # to [-1, 1], upper-left to (1, 2], lower-left to (-2, -1)), so the
-    # resulting ORDER — and therefore the output bits, which are a pure
-    # permutation of the inputs — matches the vmapped order_clockwise
-    # (atan2 argsort) whenever corner directions are separated beyond
-    # float rounding.  Terrain quads satisfy that: |dx| >= half the
-    # minimum segment width (>= 0.5), so no two corners share a direction
-    # and the two keys order identically.  atan2 is ~10x the VPU ops of
-    # this 4-op key, and this runs per step in the auto-reset fresh path.
+    # clockwise ordering: stable ascending sort on the SAME _pseudo_angle
+    # key as the vmapped terrain_vertices — identical key formula + stable
+    # tie rule (the network's idx tie-break == argsort stability) keeps
+    # batched == vmapped terrain bitwise by construction.
     cx = qx.mean(axis=1, keepdims=True)
     cy = qy.mean(axis=1, keepdims=True)
-    dx, dy = qx - cx, qy - cy
-    p = dy / (jnp.abs(dx) + jnp.abs(dy))
-    ang = jnp.where(dx >= 0.0, p, jnp.where(dy >= 0.0, 2.0 - p, -2.0 - p))
+    ang = _pseudo_angle(qx - cx, qy - cy)
     idx = jnp.broadcast_to(jnp.arange(4.0)[None, :, None], ang.shape)
 
     def cswap(i, j, ang, idx, qx, qy):

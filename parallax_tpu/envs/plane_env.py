@@ -163,7 +163,19 @@ class PlaneEnvMixin:
             reward=jnp.where(finite, reward, 0.0),
             terminated=terminated,
             truncated=truncated,
-            info=info,
+            # info feeds fleet metrics reductions (mean fuel/ball_speed):
+            # zero flagged worlds' float info leaves like reward/obs, or
+            # one poisoned world NaNs the aggregate through this channel
+            info=jax.tree_util.tree_map(
+                lambda l: jnp.where(
+                    finite.reshape((-1,) + (1,) * (l.ndim - 1)),
+                    l,
+                    jnp.zeros_like(l),
+                )
+                if jnp.issubdtype(l.dtype, jnp.floating)
+                else l,
+                info,
+            ),
         )
 
         # in-graph auto-reset; key tree identical to the vmapped mixin path:

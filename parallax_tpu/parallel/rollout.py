@@ -311,11 +311,13 @@ def batched_rollout(env, states, policy_fn, policy_params, n_steps,
     if fast is not None and not checkpoint_segments:
         return fast(states, policy_fn, n_steps, policy_params,
                     max_chunk=max_chunk, mesh=mesh)
-    if max_chunk is not None or mesh is not None:
+    if max_chunk or mesh is not None:
         # same loud-rejection policy as the checkpoint_segments guard: the
         # vmap fallback has no wave machinery, and silently running one
         # giant wave re-enters the measured >8k VMEM collapse the caller
-        # asked max_chunk to prevent
+        # asked max_chunk to prevent.  max_chunk=0 ("chunking explicitly
+        # disabled", chunked_rollout's contract) is a no-op the fallback
+        # trivially satisfies, so it passes through.
         raise ValueError(
             "max_chunk/mesh require the plane-space fast path "
             "(env.rollout_batch); this env only has the vmapped fallback"

@@ -473,3 +473,23 @@ def test_vmap_fallback_rejects_chunking():
     with pytest.raises(ValueError, match="fast path"):
         batched_rollout(NoFastPath(), None, lambda p, o: o, None, 2,
                         max_chunk=4)
+
+
+def test_vmap_fallback_allows_disabled_chunking():
+    """``max_chunk=0`` means "chunking explicitly disabled" (chunked_rollout's
+    contract) — the vmap fallback trivially satisfies that and must not be
+    rejected by the loud guard (round-4 review: the guard tested
+    ``is not None`` and crashed on 0)."""
+    from parallax_tpu.envs.bouncer import Bouncer
+
+    class VmappedOnly(Bouncer):
+        rollout_batch = None  # force the fallback
+
+    env = VmappedOnly()
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(0), 2))
+    final, traj = batched_rollout(
+        env, states, lambda p, o: jnp.zeros((env.action_size,), jnp.float32),
+        None, 2, max_chunk=0,
+    )
+    assert traj.reward.shape[0] == 2  # time-major [T, B]
+    assert np.isfinite(np.asarray(traj.reward)).all()

@@ -171,3 +171,42 @@ def test_terrain_nan_watchdog_truncates_same_step():
     assert np.isfinite(np.asarray(traj.reward)).all()
     assert np.isfinite(np.asarray(traj.obs)).all()
     assert np.isfinite(np.asarray(final.terrain)).all()
+
+
+def test_info_channel_sanitized_for_poisoned_world():
+    """A state NaN must not leak into traj.info either: info leaves feed
+    fleet metrics reductions (mean ball_speed/fuel), so one poisoned world
+    would NaN the aggregate through the info channel even with reward/obs
+    zeroed.  Poison a ball velocity in RoboCup: info["ball_speed"] is a
+    sqrt of it and goes NaN the same step unless the watchdog zeroes it."""
+    from parallax_tpu.envs.robocup import RoboCup
+
+    env = RoboCup()
+    B = 4
+    w = 3
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(0), B))
+    bi = env.ball_idx
+    states = states.replace(
+        bodies=states.bodies.replace(
+            vel=states.bodies.vel.at[w, bi, 0].set(jnp.nan)
+        )
+    )
+
+    def policy(_, obs):
+        return jnp.zeros((obs.shape[0], env.action_size), jnp.float32)
+
+    final, traj = jax.jit(lambda s: env.rollout_batch(s, policy, 3))(states)
+    trunc = np.asarray(traj.truncated)
+    assert trunc[0, w]
+    assert not trunc[0, [i for i in range(B) if i != w]].any()
+    # every float info leaf is finite on the wire, and the flagged world's
+    # entries are exactly zero
+    for name, leaf in traj.info.items():
+        arr = np.asarray(leaf)
+        if not np.issubdtype(arr.dtype, np.floating):
+            continue
+        assert np.isfinite(arr).all(), name
+        assert (arr[0, w] == 0.0).all(), name
+    # the reset wiped the poison
+    assert not trunc[1:].any()
+    assert np.isfinite(np.asarray(final.bodies.vel)).all()
