@@ -33,6 +33,10 @@ def main():
                    help="per-chip wave size for fleets above one chunk per "
                         "chip (mesh-aware chunked rollout; default: "
                         "parallel.rollout.ROLLOUT_CHUNK)")
+    p.add_argument("--remat-steps", action="store_true",
+                   help="per-step jax.checkpoint in the rollout scan: "
+                        "~17%% slower but fits ~2x the per-chip train "
+                        "batch (DESIGN 7d)")
     args = p.parse_args()
 
     env = LunarLander()
@@ -55,7 +59,8 @@ def main():
     train_step = jax.jit(
         make_train_step(env, policy, optimizer, args.horizon,
                         checkpoint_segments=4,
-                        max_chunk=args.chunk, mesh=mesh)
+                        max_chunk=args.chunk, mesh=mesh,
+                        remat_steps=args.remat_steps)
     )
 
     states = jax.vmap(env.reset)(jax.random.split(k3, args.batch))

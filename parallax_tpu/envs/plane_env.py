@@ -215,7 +215,7 @@ class PlaneEnvMixin:
         return new_states, ts
 
     def rollout_batch(self, states, policy_fn, n_steps, policy_params=None,
-                      max_chunk=None, mesh=None):
+                      max_chunk=None, mesh=None, remat_steps=False):
         """Plane-space batched rollout: (final_states, TimeStep trajectory).
 
         ``policy_fn(params, obs[B, obs_dim]) -> actions [B, act_dim]``.
@@ -224,6 +224,12 @@ class PlaneEnvMixin:
         :func:`parallax_tpu.parallel.rollout.chunked_rollout`.  For a batch
         sharded over a "worlds" ``mesh``, pass the mesh so waves are sliced
         per-device (chunk worlds per chip per wave, zero collectives).
+        ``remat_steps=True`` wraps the per-step body in ``jax.checkpoint``:
+        under grad the scan then saves only the per-step carry (plane
+        state + aux) and recomputes step internals (contact buffers,
+        solver intermediates) in the backward, instead of stacking them
+        as [T, ...] residuals — a memory/traffic vs recompute trade for
+        training (identity on forward-only rollouts).
         """
         from parallax_tpu.parallel.rollout import chunked_rollout
 
@@ -236,7 +242,8 @@ class PlaneEnvMixin:
                 ps, ts = self._step_planes(ps, actions)
                 return ps, ts
 
-            ps, traj = jax.lax.scan(f, ps, None, length=n_steps)
+            body = jax.checkpoint(f) if remat_steps else f
+            ps, traj = jax.lax.scan(body, ps, None, length=n_steps)
             return self._from_planes(ps), traj
 
         return chunked_rollout(

@@ -493,3 +493,52 @@ def test_vmap_fallback_allows_disabled_chunking():
     )
     assert traj.reward.shape[0] == 2  # time-major [T, B]
     assert np.isfinite(np.asarray(traj.reward)).all()
+
+
+def test_remat_steps_matches_default_train_step():
+    """remat_steps=True is a MEMORY knob (per-step jax.checkpoint inside the
+    scan: on v5e it fits B=16384/h=100 training where the default OOMs the
+    compiler, at ~17% lower throughput — DESIGN §7d): loss, grads and the
+    rolled-out states must match the default path."""
+    import optax
+
+    from parallax_tpu.envs.lunar_lander import LunarLander
+
+    env = LunarLander()
+    B, H = 8, 8
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    params = {
+        "w1": jax.random.normal(k1, (env.observation_size, 8)) * 0.3,
+        "b1": jnp.zeros(8),
+        "w2": jax.random.normal(k2, (8, env.action_size)) * 0.1,
+        "b2": jnp.zeros(env.action_size),
+    }
+
+    def policy(p, obs):
+        return jnp.tanh(jnp.tanh(obs @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"])
+
+    opt = optax.adam(1e-3)
+
+    def one(remat):
+        ts = jax.jit(make_train_step(env, policy, opt, H,
+                                     checkpoint_segments=2,
+                                     remat_steps=remat))
+        states = env.reset_fn_batch(jax.random.split(k3, B))
+        return ts(params, opt.init(params), states)
+
+    p0, _, s0, m0 = one(False)
+    p1, _, s1, m1 = one(True)
+    assert float(m0["loss"]) == float(m1["loss"])
+    for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s0), jax.tree_util.tree_leaves(s1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_vmap_fallback_rejects_remat_steps():
+    class NoFastPath:
+        rollout_batch = None
+
+    with pytest.raises(ValueError, match="fast path"):
+        batched_rollout(NoFastPath(), None, lambda p, o: o, None, 2,
+                        remat_steps=True)
