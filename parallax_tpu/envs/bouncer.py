@@ -76,7 +76,13 @@ class Bouncer(PlaneEnvMixin, BatchedEnvironmentMixin, Environment):
                 "wall_r": ((h, -h), (h + w, h)),
             }.items()
         ]
-        wc = WorldConfig(dt=config.dt, gravity=(0.0, 0.0), integrator="symplectic")
+        # use_pallas_solver: same one-line opt-in as lander/robocup/
+        # billiards — the kernel is world-generic, and the acceptance env
+        # inherits it like everything else (measured on v5e: the default
+        # XLA solve was 357 µs/step of the 409 µs bouncer step; roofline
+        # --env bouncer caught it running without the kernel)
+        wc = WorldConfig(dt=config.dt, gravity=(0.0, 0.0),
+                         integrator="symplectic", use_pallas_solver=True)
         self.world, self._init_bodies = World.build(balls + walls, wc)
         self._init_planes = init_planes_of(self._init_bodies)
 
