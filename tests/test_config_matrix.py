@@ -132,3 +132,19 @@ def test_check_batched_support_messages():
     bad_sm = WorldConfig(solver_mode="jacobi")
     with pytest.raises(ValueError, match="vmap"):
         check_batched_support(bad_sm)
+
+
+def test_shipped_envs_request_pallas_solver():
+    """Every shipped env must opt into the Pallas contact solver: the
+    kernel opt-in is per-WorldConfig and a missing one silently runs the
+    XLA fallback on TPU (round 4 caught Bouncer at 357 of 409 us/step in
+    the fallback — a 3.2x throughput loss nothing asserted).  Off-TPU the
+    flag is inert (the solver falls back), so this pins configuration,
+    not numerics."""
+    from parallax_tpu.envs.billiards import Billiards
+    from parallax_tpu.envs.bouncer import Bouncer
+    from parallax_tpu.envs.lunar_lander import LunarLander
+    from parallax_tpu.envs.robocup import RoboCup
+
+    for env in (LunarLander(), RoboCup(), Billiards(), Bouncer()):
+        assert env.world.config.use_pallas_solver, type(env).__name__

@@ -62,11 +62,16 @@ def make_env(name):
         from parallax_tpu.envs.billiards import Billiards
 
         return Billiards()
+    if name == "billiards48":
+        from parallax_tpu.envs.billiards import Billiards, BilliardsConfig
+
+        return Billiards(BilliardsConfig(n_object=47))
     if name == "bouncer":
         from parallax_tpu.envs.bouncer import Bouncer
 
         return Bouncer()
-    raise SystemExit(f"unknown --env {name!r}")
+    raise SystemExit(f"unknown --env {name!r} (lander|robocup|billiards|"
+                     f"billiards48|bouncer)")
 
 
 def capture(env, B, inner=200):
@@ -92,6 +97,47 @@ def capture(env, B, inner=200):
         jax.block_until_ready(w)
     wall = time.perf_counter() - t0
     return logdir, wall, inner
+
+
+def capture_train(env, B, horizon=100, segments=4):
+    """Trace ONE full train step (fwd + bwd + Adam; make_train_step).
+
+    Named phase scopes propagate into the transpose ops, so the per-phase
+    totals below include each phase's backward (that is the point: the
+    round-4 finding is that the solver's vjp dominates training —
+    DESIGN §7d)."""
+    import optax
+
+    from parallax_tpu.parallel.rollout import make_train_step
+    from parallax_tpu.utils.profiling import trace
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "w1": jax.random.normal(k1, (env.observation_size, 32)) * 0.3,
+        "b1": jnp.zeros(32),
+        "w2": jax.random.normal(k2, (32, env.action_size)) * 0.1,
+        "b2": jnp.zeros(env.action_size),
+    }
+
+    def policy(p, obs):
+        h = jnp.tanh(obs @ p["w1"] + p["b1"])
+        return jnp.tanh(h @ p["w2"] + p["b2"])
+
+    optimizer = optax.adam(3e-3)
+    opt_state = optimizer.init(params)
+    ts = jax.jit(make_train_step(env, policy, optimizer, horizon,
+                                 checkpoint_segments=segments))
+    states = env.reset_fn_batch(jax.random.split(k3, B))
+    params, opt_state, states, m = ts(params, opt_state, states)
+    float(jax.device_get(m["loss"]))  # host fetch: see bench.bench_train
+
+    logdir = "/tmp/parallax_roofline_train"
+    t0 = time.perf_counter()
+    with trace(logdir):
+        params, opt_state, states, m = ts(params, opt_state, states)
+        float(jax.device_get(m["loss"]))
+    wall = time.perf_counter() - t0
+    return logdir, wall, horizon
 
 
 def device_phase_times(logdir):
@@ -303,12 +349,41 @@ def main():
     if "--env" in args:
         i = args.index("--env")
         if i + 1 >= len(args):
-            raise SystemExit("--env needs a value: lander|robocup|billiards|bouncer")
+            raise SystemExit("--env needs a value: lander|robocup|billiards|"
+                             "billiards48|bouncer")
         env_name = args[i + 1]
         del args[i : i + 2]
+    train = "--train" in args
+    if train:
+        args.remove("--train")
     B = int(args[0]) if args else 8192
 
     env = make_env(env_name)
+
+    if train:
+        # TRAIN-step attribution: device self-time per phase across one
+        # fwd+bwd+Adam step (horizon 100, 4 segments — the bench --train
+        # program).  No flop/byte rooflines here: each phase mixes its
+        # forward, its remat replay and its transpose.
+        logdir, wall, horizon = capture_train(env, B)
+        totals, unattributed, _ = device_phase_times(logdir)
+        tot = sum(totals.values())
+        if tot == 0:
+            raise SystemExit("no TPU device events in the trace")
+        print(f"# TRAIN env={env_name} B={B} h={horizon}, wall {wall:.2f}s, "
+              f"device busy {tot / 1e6:.3f}s")
+        print(f"{'phase (fwd+bwd)':<18}{'ms/trainstep':>14}{'share':>8}")
+        for ph in list(PHASES) + ["env/other"]:
+            us = totals.get(ph, 0)
+            if us:
+                print(f"{ph:<18}{us / 1e3:>14.2f}{100 * us / tot:>7.1f}%")
+        print(f"{'TOTAL':<18}{tot / 1e3:>14.2f}")
+        print(f"# {B * horizon / (tot / 1e6) / 1e6:.2f}M train env-steps/s "
+              f"device-side")
+        top = unattributed.most_common(5)
+        print("# top unattributed ops:",
+              ", ".join(f"{n} ({d / 1e3:.1f}ms)" for n, d in top))
+        return
     flops = phase_costs(env, B)
     model = traffic_model(env, B)
     logdir, wall, inner = capture(env, B)
