@@ -54,14 +54,24 @@ TILE_B = int(_os.environ.get("PARALLAX_TILE_B", "1024"))
 _VMEM_BUDGET = 100 * 1024 * 1024
 _LIVE_FACTOR = 48
 _LIVE_FACTOR_NO_PARTNER = 30  # block-solve path compiled out -> fewer temps
+# The backward kernel recomputes the forward AND keeps the vjp residuals of
+# the unrolled iteration loop live (one linearization snapshot per velocity/
+# position iteration), so its live set is a small multiple of the forward's.
+_LIVE_FACTOR_BWD = 150
+_LIVE_FACTOR_BWD_NO_PARTNER = 95
 
 
-def tile_for(n_contacts: int, batch: int, any_partner: bool = True):
+def tile_for(n_contacts: int, batch: int, any_partner: bool = True,
+             bwd: bool = False):
     """Largest viable world-batch tile for this contact table, or None when
     even the smallest tile cannot fit (callers then run the XLA solver).
     TILE_B is a cap: raising it via PARALLAX_TILE_B still tries the whole
-    ladder below it."""
-    live = _LIVE_FACTOR if any_partner else _LIVE_FACTOR_NO_PARTNER
+    ladder below it.  ``bwd=True`` models the backward kernel's larger live
+    set (per-iteration vjp residuals)."""
+    if bwd:
+        live = _LIVE_FACTOR_BWD if any_partner else _LIVE_FACTOR_BWD_NO_PARTNER
+    else:
+        live = _LIVE_FACTOR if any_partner else _LIVE_FACTOR_NO_PARTNER
     for t in sorted({TILE_B, 1024, 512, 256, 128}, reverse=True):
         if t > TILE_B:
             continue
@@ -193,6 +203,14 @@ def _build_operands(world):
     )
 
 
+def _zero_cotangent(x):
+    """Zero cotangent matching what jax.vjp itself emits: float0 for
+    non-inexact primals (bool ``active``), dense zeros otherwise."""
+    if not jnp.issubdtype(x.dtype, jnp.inexact):
+        return np.zeros(x.shape, jax.dtypes.float0)
+    return jnp.zeros_like(x)
+
+
 def solve_contacts_pallas(
     world,
     s,
@@ -203,6 +221,7 @@ def solve_contacts_pallas(
     config: ContactSolverConfig,
     interpret: bool = False,
     with_joints: bool = False,
+    pallas_bwd: bool | None = None,
 ):
     """Drop-in twin of ``solve_contacts_bm`` running as one Pallas kernel.
 
@@ -211,10 +230,25 @@ def solve_contacts_pallas(
     planes then make one fewer HBM round-trip and the joints' sequential
     row updates run in VMEM instead of as [1, B] XLA fusions.
 
-    Differentiable: the backward pass routes through the JAX implementation
-    (``solve_contacts_bm`` [+ ``apply_joints_bm``]) via custom_vjp — Pallas
-    speed on the forward, exact autodiff semantics on the reverse (both
-    paths compute identical values, so the VJP is consistent)."""
+    Differentiable via custom_vjp.  The backward is a SECOND Pallas kernel
+    (``_solver_bwd_kernel``) that recomputes the forward in VMEM and runs
+    ``jax.vjp`` of the same ``solve_arrays`` trace — one-hot MXU matmuls
+    transpose to one-hot MXU matmuls, so the whole reverse pass is one
+    launch instead of the dozens of small XLA fusions the re-linearized
+    twin pays (DESIGN §7d: the solver vjp was 46%% of the train step).
+    Falls back to the XLA twin's vjp when the backward's larger live set
+    has no viable tile (``tile_for(..., bwd=True)`` is None) or when
+    ``pallas_bwd=False`` / env ``PARALLAX_PALLAS_BWD=0``.  Both backwards
+    differentiate value-identical forwards, so either is a consistent VJP."""
+    if pallas_bwd is None:
+        pallas_bwd = _os.environ.get("PARALLAX_PALLAS_BWD", "1") != "0"
+    C = world.table.n_contacts
+    B = s.vx.shape[-1]
+    any_partner = any(p >= 0 for p in np.asarray(world.table.partner))
+    use_pallas_bwd = (
+        pallas_bwd and C > 0
+        and tile_for(C, B, any_partner, bwd=True) is not None
+    )
 
     @jax.custom_vjp
     def _solve(s, con):
@@ -225,9 +259,20 @@ def solve_contacts_pallas(
         return _solve(s, con), (s, con)
 
     def _bwd(res, g):
-        from parallax_tpu.engine.batched import apply_joints_bm, solve_contacts_bm
-
         s0, con0 = res
+        if use_pallas_bwd:
+            ds, dpen_x, dpen_y, dpt_x, dpt_y = _solve_bwd_pallas(
+                world, s0, con0, g, iterations, position_iterations, dt,
+                config, interpret, with_joints,
+            )
+            dcon = con0._replace(
+                pen_x=dpen_x, pen_y=dpen_y, pt_x=dpt_x, pt_y=dpt_y,
+                active=_zero_cotangent(con0.active),
+                weight=_zero_cotangent(con0.weight),
+            )
+            return ds, dcon
+
+        from parallax_tpu.engine.batched import apply_joints_bm, solve_contacts_bm
 
         def jax_path(ss, cc):
             out = solve_contacts_bm(
@@ -311,6 +356,122 @@ def _solve_fwd_only(
     )
     px, py, vx, vy, angle, omega = outs
     return s._replace(px=px, py=py, vx=vx, vy=vy, angle=angle, omega=omega)
+
+
+def _solve_bwd_pallas(
+    world, s0, con0, g, iterations, position_iterations, dt, config,
+    interpret, with_joints,
+):
+    """Reverse pass as ONE Pallas kernel: recompute the forward in VMEM and
+    transpose it there too.  Residuals from custom_vjp are the primal
+    inputs only (same recompute-from-inputs policy as the XLA fallback);
+    the per-iteration linearization snapshots never touch HBM.  Returns
+    (ds: _SoA-shaped state grads, d_pen_x, d_pen_y, d_pt_x, d_pt_y)."""
+    ops = _build_operands(world)
+    C, n = ops["C"], ops["n"]
+    B = s0.vx.shape[-1]
+    tile_b = tile_for(C, B, ops["any_partner"], bwd=True)
+    assert tile_b is not None, (
+        f"no viable bwd tile for C={C}, B={B} (callers gate on tile_for(bwd=True))"
+    )
+
+    jrows = _joint_rows(world) if with_joints else []
+    kernel = functools.partial(
+        _solver_bwd_kernel,
+        iterations=iterations,
+        position_iterations=position_iterations,
+        dt=float(dt),
+        config=config,
+        any_partner=ops["any_partner"],
+        jrows=tuple(jrows),
+        im_np=ops["im"],
+        ii_np=ops["ii"],
+    )
+
+    grid = (B // tile_b,)
+
+    def tile(rows):
+        return pl.BlockSpec((rows, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def whole(a):
+        return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    dtype = s0.vx.dtype
+    out_shapes = (
+        [jax.ShapeDtypeStruct((n, B), dtype) for _ in range(6)]
+        + [jax.ShapeDtypeStruct((C, B), dtype) for _ in range(4)]
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=(
+            [whole(ops["lane_const"]), whole(ops["oh_a"]), whole(ops["oh_b"]),
+             whole(ops["oh_p"]), whole(ops["acc_a"]), whole(ops["acc_b"])]
+            + [tile(C)] * 5
+            + [tile(n)] * 12
+        ),
+        out_specs=[tile(n)] * 6 + [tile(C)] * 4,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BUDGET),
+        interpret=interpret,
+    )(
+        ops["lane_const"], ops["oh_a"], ops["oh_b"], ops["oh_p"],
+        ops["acc_a"], ops["acc_b"],
+        con0.pen_x, con0.pen_y, con0.pt_x, con0.pt_y,
+        con0.active.astype(dtype),
+        s0.px, s0.py, s0.vx, s0.vy, s0.angle, s0.omega,
+        g.px, g.py, g.vx, g.vy, g.angle, g.omega,
+    )
+    ds = s0._replace(px=outs[0], py=outs[1], vx=outs[2], vy=outs[3],
+                     angle=outs[4], omega=outs[5])
+    return ds, outs[6], outs[7], outs[8], outs[9]
+
+
+def _solver_bwd_kernel(
+    const_ref, oh_a_ref, oh_b_ref, oh_p_ref, acc_a_ref, acc_b_ref,
+    pen_x_ref, pen_y_ref, pt_x_ref, pt_y_ref, act_ref,
+    px_ref, py_ref, vx_ref, vy_ref, ang_ref, om_ref,
+    gpx_ref, gpy_ref, gvx_ref, gvy_ref, gang_ref, gom_ref,
+    dpx_ref, dpy_ref, dvx_ref, dvy_ref, dang_ref, dom_ref,
+    dpenx_ref, dpeny_ref, dptx_ref, dpty_ref,
+    *, iterations, position_iterations, dt, config,
+    any_partner=True, jrows=(), im_np=(), ii_np=(),
+):
+    lane = const_ref[:]
+    oh_a = oh_a_ref[:]
+    oh_b = oh_b_ref[:]
+    oh_p = oh_p_ref[:]
+    acc_a = acc_a_ref[:]
+    acc_b = acc_b_ref[:]
+    act = act_ref[:]
+
+    def f(px, py, vx, vy, ang, om, pen_x, pen_y, pt_x, pt_y):
+        opx, opy, ovx, ovy, oang, oom = solve_arrays(
+            lane, oh_a, oh_b, oh_p, acc_a, acc_b,
+            pen_x, pen_y, pt_x, pt_y, act,
+            px, py, vx, vy, ang, om,
+            iterations=iterations, position_iterations=position_iterations,
+            dt=dt, config=config, any_partner=any_partner,
+        )
+        if jrows:
+            ovx, ovy, oom = apply_joint_rows(
+                jrows, im_np, ii_np, opx, opy, ovx, ovy, oang, oom
+            )
+        return opx, opy, ovx, ovy, oang, oom
+
+    _, vjp = jax.vjp(
+        f,
+        px_ref[:], py_ref[:], vx_ref[:], vy_ref[:], ang_ref[:], om_ref[:],
+        pen_x_ref[:], pen_y_ref[:], pt_x_ref[:], pt_y_ref[:],
+    )
+    grads = vjp(
+        (gpx_ref[:], gpy_ref[:], gvx_ref[:], gvy_ref[:], gang_ref[:],
+         gom_ref[:])
+    )
+    dpx_ref[:], dpy_ref[:], dvx_ref[:], dvy_ref[:], dang_ref[:], dom_ref[:] = (
+        grads[:6]
+    )
+    dpenx_ref[:], dpeny_ref[:], dptx_ref[:], dpty_ref[:] = grads[6:]
 
 
 def _solver_kernel(

@@ -157,6 +157,81 @@ def test_pallas_solver_with_joints_grad(contact_state):
     assert np.isfinite(np.asarray(g))
 
 
+@pytest.mark.parametrize("with_joints", [False, True])
+def test_pallas_bwd_kernel_matches_xla_vjp(contact_state, with_joints):
+    """The Pallas BACKWARD kernel (recompute + jax.vjp of solve_arrays in
+    VMEM) agrees with the XLA twin's vjp on every state plane AND the
+    contact penetration/point planes.  Both differentiate value-identical
+    forwards, so the two VJPs may differ only at reassociation-ULP level."""
+    from parallax_tpu.engine.batched import apply_joints_bm
+
+    world, s, con = contact_state
+
+    def loss_pallas(s_in, pen_x, pt_x):
+        c2 = con._replace(pen_x=pen_x, pt_x=pt_x)
+        out = solve_contacts_pallas(
+            world, s_in, c2, 3, 2, 0.01, world.config.contact,
+            interpret=True, with_joints=with_joints, pallas_bwd=True,
+        )
+        return sum(
+            (getattr(out, f) ** 2).sum()
+            for f in ("px", "py", "vx", "vy", "angle", "omega")
+        )
+
+    def loss_xla(s_in, pen_x, pt_x):
+        c2 = con._replace(pen_x=pen_x, pt_x=pt_x)
+        out = solve_contacts_bm(world, s_in, c2, 3, 2, 0.01, world.config.contact)
+        if with_joints:
+            out = apply_joints_bm(world, out)
+        return sum(
+            (getattr(out, f) ** 2).sum()
+            for f in ("px", "py", "vx", "vy", "angle", "omega")
+        )
+
+    gp = jax.jit(jax.grad(loss_pallas, argnums=(0, 1, 2)))(s, con.pen_x, con.pt_x)
+    gx = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))(s, con.pen_x, con.pt_x)
+    for f in ("px", "py", "vx", "vy", "angle", "omega"):
+        a = np.asarray(getattr(gp[0], f))
+        b = np.asarray(getattr(gx[0], f))
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5, err_msg=f"d{f}")
+    np.testing.assert_allclose(
+        np.asarray(gp[1]), np.asarray(gx[1]), rtol=2e-4, atol=1e-5,
+        err_msg="dpen_x",
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp[2]), np.asarray(gx[2]), rtol=2e-4, atol=1e-5,
+        err_msg="dpt_x",
+    )
+
+
+def test_pallas_bwd_cotangent_structure(contact_state):
+    """The kernel-path bwd returns the same cotangent STRUCTURE as jax.vjp
+    of the XLA twin: float0 for the bool ``active`` plane, dense zeros for
+    the unused ``weight`` plane (solve_contacts_bm never reads weight)."""
+    world, s, con = contact_state
+
+    def run(pb):
+        def f(ss, cc):
+            return solve_contacts_pallas(
+                world, ss, cc, 3, 2, 0.01, world.config.contact,
+                interpret=True, pallas_bwd=pb,
+            )
+
+        out, vjp = jax.vjp(f, s, con)
+        return vjp(jax.tree.map(jnp.ones_like, out))
+
+    ds_p, dcon_p = run(True)
+    ds_x, dcon_x = run(False)
+    assert dcon_p.active.dtype == dcon_x.active.dtype  # float0
+    np.testing.assert_array_equal(
+        np.asarray(dcon_p.weight), np.zeros_like(np.asarray(dcon_p.weight))
+    )
+    np.testing.assert_allclose(
+        np.asarray(dcon_p.pen_y), np.asarray(dcon_x.pen_y), rtol=2e-4,
+        atol=1e-5,
+    )
+
+
 def test_pallas_solver_big_contact_table(contact_state):
     """C > 256 takes the unbundled (per-component matmul) branch — the
     bundled [C, 3*TB] concats blew VMEM on the 48-ball world (C=1320,
