@@ -56,20 +56,91 @@ _LIVE_FACTOR = 48
 _LIVE_FACTOR_NO_PARTNER = 30  # block-solve path compiled out -> fewer temps
 # The backward kernel recomputes the forward AND keeps the vjp residuals of
 # the unrolled iteration loop live (one linearization snapshot per velocity/
-# position iteration), so its live set is a small multiple of the forward's.
-_LIVE_FACTOR_BWD = 150
-_LIVE_FACTOR_BWD_NO_PARTNER = 95
+# position iteration), so its live set SCALES with the iteration count
+# (ADVICE r4): live = BASE + PER_ITER * (iterations + position_iterations).
+# At the default 4+3 iterations this reproduces the round-4 totals
+# (150 partner / 95 no-partner); worlds configured with more iterations now
+# get proportionally smaller tiles instead of a VMEM compile failure.
+_LIVE_BWD_BASE = 45
+_LIVE_BWD_PER_ITER = 15
+_LIVE_BWD_BASE_NO_PARTNER = 32
+_LIVE_BWD_PER_ITER_NO_PARTNER = 9
+_DEFAULT_TOTAL_ITERS = 7  # WorldConfig defaults: 4 velocity + 3 position
+
+# Precision of the kernel's one-hot gather/scatter/swap matmuls.  The TPU
+# default f32 matmul is SINGLE-PASS bf16 — measured on v5e (round 5):
+# one-hot selection errs 3.9e-3 relative at 'default', 0.0 at 'highest'.
+# bf16-level gathers compound over the 4+3 iteration loop and broke
+# hardware gradient parity with the XLA twin (tools/tpu_smoke_bwd.py), so
+# the kernel must run the dots exactly.  'highest' costs 6 MXU passes and
+# splits BOTH operands on the VPU (solver fwd 219 -> 409 us at B=8192);
+# the one-hot operand is already exact in bf16, so 'split3' decomposes
+# only the VALUE operand into 3 bf16 components (24 mantissa bits = exact
+# f32 selection) at 3 native-bf16 passes — same exactness, half the MXU
+# work.  'split2' (16 bits, ~1e-5 relative) is the cheaper knob for perf
+# sweeps.  Mosaic rejects 'high' and per-operand precision tuples.
+# Read at import (same policy as PARALLAX_TILE_B): consulted at trace
+# time, so flipping it mid-process has no effect on jit caches.
+MXU_PRECISION = _os.environ.get("PARALLAX_MXU_PRECISION", "split3")
+
+
+def _make_split_dot(nsplit):
+    def _raw(a, b):
+        a16 = a.astype(jnp.bfloat16)  # 0/1 entries: exact
+        acc = None
+        r = b
+        for i in range(nsplit):
+            h = r.astype(jnp.bfloat16)
+            if i + 1 < nsplit:
+                r = r - h.astype(jnp.float32)
+            d = jnp.dot(a16, h, preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+        return acc
+
+    # custom_vjp is mandatory, not an optimization: autodiff through the
+    # bf16 casts would round every branch's COTANGENT to bf16 (the vjp of
+    # convert_element_type casts the cotangent to the branch dtype), which
+    # re-broke gradient exactness at 2e-2.  The true vjp of b -> a@b is
+    # a.T@g — itself a one-hot matmul, so the same split dot computes it
+    # exactly.  ``a`` is always a static selection matrix (never
+    # differentiated); its cotangent is returned as zeros.
+    @jax.custom_vjp
+    def dot(a, b):
+        return _raw(a, b)
+
+    def _fwd(a, b):
+        return _raw(a, b), a
+
+    def _bwd(a, g):
+        return jnp.zeros_like(a), _raw(a.T, g)
+
+    dot.defvjp(_fwd, _bwd)
+    return dot
+
+
+def _make_dot(precision):
+    """One-hot matmul at the requested exactness mode (see MXU_PRECISION)."""
+    if precision in ("split2", "split3"):
+        return _make_split_dot(2 if precision == "split2" else 3)
+    return functools.partial(
+        jnp.dot, preferred_element_type=jnp.float32, precision=precision
+    )
 
 
 def tile_for(n_contacts: int, batch: int, any_partner: bool = True,
-             bwd: bool = False):
+             bwd: bool = False, total_iterations: int = _DEFAULT_TOTAL_ITERS):
     """Largest viable world-batch tile for this contact table, or None when
     even the smallest tile cannot fit (callers then run the XLA solver).
     TILE_B is a cap: raising it via PARALLAX_TILE_B still tries the whole
     ladder below it.  ``bwd=True`` models the backward kernel's larger live
-    set (per-iteration vjp residuals)."""
+    set, which scales with ``total_iterations`` (= velocity + position
+    iterations: one vjp linearization snapshot stays live per pass)."""
     if bwd:
-        live = _LIVE_FACTOR_BWD if any_partner else _LIVE_FACTOR_BWD_NO_PARTNER
+        if any_partner:
+            live = _LIVE_BWD_BASE + _LIVE_BWD_PER_ITER * total_iterations
+        else:
+            live = (_LIVE_BWD_BASE_NO_PARTNER
+                    + _LIVE_BWD_PER_ITER_NO_PARTNER * total_iterations)
     else:
         live = _LIVE_FACTOR if any_partner else _LIVE_FACTOR_NO_PARTNER
     for t in sorted({TILE_B, 1024, 512, 256, 128}, reverse=True):
@@ -247,7 +318,9 @@ def solve_contacts_pallas(
     any_partner = any(p >= 0 for p in np.asarray(world.table.partner))
     use_pallas_bwd = (
         pallas_bwd and C > 0
-        and tile_for(C, B, any_partner, bwd=True) is not None
+        and tile_for(C, B, any_partner, bwd=True,
+                     total_iterations=iterations + position_iterations)
+        is not None
     )
 
     @jax.custom_vjp
@@ -370,7 +443,8 @@ def _solve_bwd_pallas(
     ops = _build_operands(world)
     C, n = ops["C"], ops["n"]
     B = s0.vx.shape[-1]
-    tile_b = tile_for(C, B, ops["any_partner"], bwd=True)
+    tile_b = tile_for(C, B, ops["any_partner"], bwd=True,
+                      total_iterations=iterations + position_iterations)
     assert tile_b is not None, (
         f"no viable bwd tile for C={C}, B={B} (callers gate on tile_for(bwd=True))"
     )
@@ -514,12 +588,13 @@ def solve_arrays(
     pswap and the whole 2x2 block-solve path from the compiled kernel —
     for circle/box-only worlds those were pure identity work."""
     f32 = jnp.float32
+    dot = _make_dot(MXU_PRECISION)
 
     def ga(x):  # gather body rows for lane side A: [C, TB]
-        return jnp.dot(oh_a, x, preferred_element_type=f32)
+        return dot(oh_a, x)
 
     def gb(x):
-        return jnp.dot(oh_b, x, preferred_element_type=f32)
+        return dot(oh_b, x)
 
     # Bundling x/y/omega into one 3x-wide matmul cuts MXU launches 3x, but
     # the [C, 3*TB] concats it needs blow the VMEM budget for big contact
@@ -534,27 +609,24 @@ def solve_arrays(
         if not bundle:
             return ga(x), ga(y), ga(z)
         tb = x.shape[-1]
-        m = jnp.dot(oh_a, jnp.concatenate([x, y, z], axis=1),
-                    preferred_element_type=f32)
+        m = dot(oh_a, jnp.concatenate([x, y, z], axis=1))
         return m[:, :tb], m[:, tb:2 * tb], m[:, 2 * tb:]
 
     def gb3(x, y, z):
         if not bundle:
             return gb(x), gb(y), gb(z)
         tb = x.shape[-1]
-        m = jnp.dot(oh_b, jnp.concatenate([x, y, z], axis=1),
-                    preferred_element_type=f32)
+        m = dot(oh_b, jnp.concatenate([x, y, z], axis=1))
         return m[:, :tb], m[:, tb:2 * tb], m[:, 2 * tb:]
 
     def pswap(x):  # partner lane: [C, TB]
-        return jnp.dot(oh_p, x, preferred_element_type=f32)
+        return dot(oh_p, x)
 
     def pswap2(x, y):
         if not bundle:
             return pswap(x), pswap(y)
         tb = x.shape[-1]
-        m = jnp.dot(oh_p, jnp.concatenate([x, y], axis=1),
-                    preferred_element_type=f32)
+        m = dot(oh_p, jnp.concatenate([x, y], axis=1))
         return m[:, :tb], m[:, tb:]
 
     im_a = lane[_R_IM_A][:, None]
@@ -639,24 +711,16 @@ def solve_arrays(
         dvby = -jy * im_b
         dwb = -(rbx * jy - rby * jx) * ii_b
         if not bundle:
-            vx = vx + jnp.dot(acc_a, dvax, preferred_element_type=f32) + jnp.dot(
-                acc_b, dvbx, preferred_element_type=f32
-            )
-            vy = vy + jnp.dot(acc_a, dvay, preferred_element_type=f32) + jnp.dot(
-                acc_b, dvby, preferred_element_type=f32
-            )
-            om = om + jnp.dot(acc_a, dwa, preferred_element_type=f32) + jnp.dot(
-                acc_b, dwb, preferred_element_type=f32
-            )
+            vx = vx + dot(acc_a, dvax) + dot(acc_b, dvbx)
+            vy = vy + dot(acc_a, dvay) + dot(acc_b, dvby)
+            om = om + dot(acc_a, dwa) + dot(acc_b, dwb)
             return vx, vy, om
         tb = vx.shape[-1]
         # one [n, C] @ [C, 3*TB] matmul per side (3x fewer MXU launches)
-        acc = jnp.dot(
-            acc_a, jnp.concatenate([dvax, dvay, dwa], axis=1),
-            preferred_element_type=f32,
-        ) + jnp.dot(
-            acc_b, jnp.concatenate([dvbx, dvby, dwb], axis=1),
-            preferred_element_type=f32,
+        acc = dot(
+            acc_a, jnp.concatenate([dvax, dvay, dwa], axis=1)
+        ) + dot(
+            acc_b, jnp.concatenate([dvbx, dvby, dwb], axis=1)
         )
         return (
             vx + acc[:, :tb],

