@@ -193,7 +193,7 @@ def bench_env(env, name, inner=500, chain=3, batch=DEFAULT_BATCH):
 
 
 def bench_train(env, name, batch=DEFAULT_BATCH, horizon=100, chain=3,
-                checkpoint_segments=4, max_chunk=None):
+                checkpoint_segments=4, max_chunk=None, remat_steps=False):
     """Full differentiable-physics TRAIN step throughput (fwd+bwd+Adam).
 
     The flagship learning program (examples/train_lander.py,
@@ -229,6 +229,7 @@ def bench_train(env, name, batch=DEFAULT_BATCH, horizon=100, chain=3,
     train_step = jax.jit(make_train_step(
         env, policy, optimizer, horizon,
         checkpoint_segments=checkpoint_segments, max_chunk=max_chunk,
+        remat_steps=remat_steps,
     ))
     states = env.reset_fn_batch(jax.random.split(k3, batch))
 
@@ -279,11 +280,28 @@ def child_main(args) -> None:
             LunarLander(), "lunarlander", batch=args.batch
         )), flush=True)
         if args.all:
+            from parallax_tpu.envs.billiards import Billiards
+            from parallax_tpu.envs.bouncer import Bouncer
             from parallax_tpu.envs.robocup import RoboCup
 
             print(json.dumps(bench_train(
                 RoboCup(), "robocup", batch=args.batch
             )), flush=True)
+            print(json.dumps(bench_train(
+                Billiards(), "billiards8", batch=args.batch
+            )), flush=True)
+            print(json.dumps(bench_train(
+                Bouncer(), "bouncer", batch=args.batch
+            )), flush=True)
+        if args.ladder:
+            # the memory ladder (DESIGN §7d, VERDICT r4 #7): per-step remat
+            # unlocks batches the default residual program cannot compile
+            r16 = bench_train(LunarLander(), "lunarlander_remat",
+                              batch=16384, remat_steps=True)
+            print(json.dumps(r16), flush=True)
+            r32 = bench_train(LunarLander(), "lunarlander_remat_waves",
+                              batch=32768, remat_steps=True, max_chunk=8192)
+            print(json.dumps(r32), flush=True)
         return
 
     # headline line (the driver records exactly one JSON line)
@@ -315,7 +333,10 @@ def _parse_args(argv):
     p.add_argument("--train", action="store_true",
                    help="bench the differentiable-physics TRAIN step "
                         "(fwd+bwd+Adam, horizon 100) instead of rollouts; "
-                        "with --all also RoboCup")
+                        "with --all also RoboCup/billiards/bouncer")
+    p.add_argument("--ladder", action="store_true",
+                   help="with --train: also run the remat memory ladder "
+                        "(B=16384 remat, B=32768 remat+8k waves)")
     p.add_argument("--child", action="store_true",
                    help="(internal) run the benchmark directly, no retry shell")
     p.add_argument("--child-timeout", type=float, default=1800.0,
@@ -331,6 +352,8 @@ def _parse_args(argv):
         p.error("--batch has no effect with --sweep; drop one of them")
     if args.sweep and args.train:
         p.error("--sweep and --train are mutually exclusive")
+    if args.ladder and not args.train:
+        p.error("--ladder requires --train")
     return args
 
 

@@ -31,8 +31,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os
+
 from parallax_tpu.dynamics.bodies import BodyState
 from parallax_tpu.dynamics.impulses import ContactSolverConfig
+
+# Round-5 VERDICT #5 experiment: rematerialize the narrow phase inside the
+# backward (recompute SAT/manifolds from positions instead of stacking
+# their residuals) — the repo's recompute-beats-copy lesson (DESIGN §7c)
+# applied to collide's 2.7x-forward vjp.  Read at import; trace-time
+# semantics like PARALLAX_PALLAS_BWD (set before launch).
+_REMAT_COLLIDE = _os.environ.get("PARALLAX_REMAT_COLLIDE", "0") != "0"
 from parallax_tpu.engine.collider import MANIFOLD_KERNELS
 from parallax_tpu.geometry.shapes import BOX, CIRCLE, POLYGON, edge_mask_for
 
@@ -1089,7 +1098,16 @@ def physics_core(
             s = grav(s)
 
     with jax.named_scope("collide"):
-        con = collide_batched(world, s, terrain_override)
+        if _REMAT_COLLIDE and terrain_override is None:
+            con = jax.checkpoint(
+                lambda s_: collide_batched(world, s_, None)
+            )(s)
+        elif _REMAT_COLLIDE:
+            con = jax.checkpoint(
+                lambda s_, ov: collide_batched(world, s_, ov)
+            )(s, terrain_override)
+        else:
+            con = collide_batched(world, s, terrain_override)
     joints_done = False
     with jax.named_scope("solve_contacts"):
         if _pallas_ok(world, s) and world.table.n_contacts > 0:

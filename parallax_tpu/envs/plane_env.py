@@ -215,7 +215,8 @@ class PlaneEnvMixin:
         return new_states, ts
 
     def rollout_batch(self, states, policy_fn, n_steps, policy_params=None,
-                      max_chunk=None, mesh=None, remat_steps=False):
+                      max_chunk=None, mesh=None, remat_steps=False,
+                      traj_select=None):
         """Plane-space batched rollout: (final_states, TimeStep trajectory).
 
         ``policy_fn(params, obs[B, obs_dim]) -> actions [B, act_dim]``.
@@ -230,6 +231,15 @@ class PlaneEnvMixin:
         solver intermediates) in the backward, instead of stacking them
         as [T, ...] residuals — a memory/traffic vs recompute trade for
         training (identity on forward-only rollouts).
+
+        ``traj_select(ts) -> pytree`` filters what each step EMITS into the
+        stacked trajectory (default: the full TimeStep).  Consumers that
+        reduce the trajectory to a scalar (the train loss reads only
+        ``reward``) should select just what they need: un-selected leaves
+        like ``obs [T, B, obs_dim]`` otherwise materialize as
+        minor-dim-padded HBM buffers AND ride through every checkpoint
+        segment boundary (round-5 VERDICT #4: 40%% of the train step was
+        this stacking traffic).
         """
         from parallax_tpu.parallel.rollout import chunked_rollout
 
@@ -240,7 +250,7 @@ class PlaneEnvMixin:
                 obs = self.plane_obs(ps.s, ps.aux)
                 actions = policy_fn(policy_params, obs)
                 ps, ts = self._step_planes(ps, actions)
-                return ps, ts
+                return ps, traj_select(ts) if traj_select else ts
 
             body = jax.checkpoint(f) if remat_steps else f
             ps, traj = jax.lax.scan(body, ps, None, length=n_steps)

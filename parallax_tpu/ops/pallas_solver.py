@@ -87,15 +87,23 @@ MXU_PRECISION = _os.environ.get("PARALLAX_MXU_PRECISION", "split3")
 def _make_split_dot(nsplit):
     def _raw(a, b):
         a16 = a.astype(jnp.bfloat16)  # 0/1 entries: exact
-        acc = None
+        parts = []
         r = b
         for i in range(nsplit):
             h = r.astype(jnp.bfloat16)
             if i + 1 < nsplit:
                 r = r - h.astype(jnp.float32)
-            d = jnp.dot(a16, h, preferred_element_type=jnp.float32)
-            acc = d if acc is None else acc + d
-        return acc
+            parts.append(h)
+        # Stack the components along K instead of running nsplit separate
+        # matmuls: [M, K]x nsplit -> [M, nsplit*K] @ [nsplit*K, N].  The
+        # MXU's K dim is 128-deep, and every one-hot table in the solver
+        # has K = n_bodies (~9) or K = C; for small K the stacked exact dot
+        # costs the SAME MXU passes as the single bf16 pass (27 < 128).
+        # Exactness survives any accumulation order: the components occupy
+        # disjoint mantissa ranges, so every partial sum is representable.
+        a_s = jnp.concatenate([a16] * nsplit, axis=1)
+        b_s = jnp.concatenate(parts, axis=0)
+        return jnp.dot(a_s, b_s, preferred_element_type=jnp.float32)
 
     # custom_vjp is mandatory, not an optimization: autodiff through the
     # bf16 casts would round every branch's COTANGENT to bf16 (the vjp of
@@ -143,6 +151,13 @@ def tile_for(n_contacts: int, batch: int, any_partner: bool = True,
                     + _LIVE_BWD_PER_ITER_NO_PARTNER * total_iterations)
     else:
         live = _LIVE_FACTOR if any_partner else _LIVE_FACTOR_NO_PARTNER
+    # split modes keep extra per-dot operand copies live (bf16 components
+    # + K-stack concats).  Empirical boundary (round 5, v5e): billiards48
+    # (C=1320, no-partner) compiled at tile 512 with raw-bf16 dots but
+    # VMEM-fails under split3 and fits at 256 -> effective live is >37 and
+    # <=74 of the modeled 30; 1.6x reproduces the observed ladder.
+    if MXU_PRECISION in ("split2", "split3"):
+        live = int(live * (1.6 if MXU_PRECISION == "split3" else 1.35))
     for t in sorted({TILE_B, 1024, 512, 256, 128}, reverse=True):
         if t > TILE_B:
             continue
@@ -310,7 +325,14 @@ def solve_contacts_pallas(
     Falls back to the XLA twin's vjp when the backward's larger live set
     has no viable tile (``tile_for(..., bwd=True)`` is None) or when
     ``pallas_bwd=False`` / env ``PARALLAX_PALLAS_BWD=0``.  Both backwards
-    differentiate value-identical forwards, so either is a consistent VJP."""
+    differentiate value-identical forwards, so either is a consistent VJP.
+
+    NOTE (ADVICE r4): the env var is consulted at TRACE time, so the
+    chosen backward is baked into jit caches — set it before launching
+    the process; flipping it mid-process has no effect on already-compiled
+    steps.  Hardware status: the backward kernel is Mosaic-compiled and
+    ULP-pinned against the XLA vjp on v5e (tools/tpu_smoke_bwd.py), and
+    measured 1.57x/3.04x train throughput (DESIGN §7d)."""
     if pallas_bwd is None:
         pallas_bwd = _os.environ.get("PARALLAX_PALLAS_BWD", "1") != "0"
     C = world.table.n_contacts
@@ -589,35 +611,50 @@ def solve_arrays(
     for circle/box-only worlds those were pure identity work."""
     f32 = jnp.float32
     dot = _make_dot(MXU_PRECISION)
+    C = pen_x.shape[0]
 
-    def ga(x):  # gather body rows for lane side A: [C, TB]
-        return dot(oh_a, x)
+    # Round-5 M/K stacking: both gather sides ride ONE matmul ([2C, n] @
+    # [n, TB] — 2C=96 for the lander still fits a single 128-row MXU tile,
+    # so the B-side gather is free), and both scatter sides ride one
+    # K-stacked matmul ([n, 2C] @ [2C, TB]).  Gathers are value-identical
+    # to the separate dots (M-stacking never mixes accumulation lanes);
+    # the scatter's K-concat reassociates the A+B sum (ULP-level, covered
+    # by the existing atol-1e-5 equivalence tests).
+    oh_ab = jnp.concatenate([oh_a, oh_b], axis=0)      # [2C, n]
+    acc_ab = jnp.concatenate([acc_a, acc_b], axis=1)   # [n, 2C]
+    if MXU_PRECISION in ("split2", "split3"):
+        # pre-cast the static 0/1 matrices once (exact); the per-call
+        # a.astype(bfloat16) inside the split dot is then a no-op
+        oh_ab = oh_ab.astype(jnp.bfloat16)
+        oh_p = oh_p.astype(jnp.bfloat16)
+        acc_a = acc_a.astype(jnp.bfloat16)
+        acc_b = acc_b.astype(jnp.bfloat16)
+        acc_ab = acc_ab.astype(jnp.bfloat16)
 
-    def gb(x):
-        return dot(oh_b, x)
+    def gab(x):  # gather body rows for BOTH lane sides: ([C, TB], [C, TB])
+        m = dot(oh_ab, x)
+        return m[:C], m[C:]
 
     # Bundling x/y/omega into one 3x-wide matmul cuts MXU launches 3x, but
     # the [C, 3*TB] concats it needs blow the VMEM budget for big contact
     # tables (C=1320 in the 48-ball world spilled 208MB of registers);
     # bundle only when the wide intermediates stay small.
-    bundle = pen_x.shape[0] <= 256
+    bundle = C <= 256
 
-    def ga3(x, y, z):
-        """Three A-side gathers; when bundled, ONE [C, n] @ [n, 3*TB]
-        matmul (each output column's K-dim accumulation is unchanged, so
-        values are bitwise-identical either way)."""
+    def gab3(x, y, z):
+        """x/y/omega gathers for both sides; when bundled, ONE
+        [2C, n] @ [n, 3*TB] matmul (each output column's K-dim accumulation
+        is unchanged, so values are bitwise-identical either way)."""
         if not bundle:
-            return ga(x), ga(y), ga(z)
+            mx_a, mx_b = gab(x)
+            my_a, my_b = gab(y)
+            mz_a, mz_b = gab(z)
+            return mx_a, my_a, mz_a, mx_b, my_b, mz_b
         tb = x.shape[-1]
-        m = dot(oh_a, jnp.concatenate([x, y, z], axis=1))
-        return m[:, :tb], m[:, tb:2 * tb], m[:, 2 * tb:]
-
-    def gb3(x, y, z):
-        if not bundle:
-            return gb(x), gb(y), gb(z)
-        tb = x.shape[-1]
-        m = dot(oh_b, jnp.concatenate([x, y, z], axis=1))
-        return m[:, :tb], m[:, tb:2 * tb], m[:, 2 * tb:]
+        m = dot(oh_ab, jnp.concatenate([x, y, z], axis=1))
+        ma, mb = m[:C], m[C:]
+        return (ma[:, :tb], ma[:, tb:2 * tb], ma[:, 2 * tb:],
+                mb[:, :tb], mb[:, tb:2 * tb], mb[:, 2 * tb:])
 
     def pswap(x):  # partner lane: [C, TB]
         return dot(oh_p, x)
@@ -647,10 +684,12 @@ def solve_arrays(
     ny = jnp.where(d2 == 0, 0.0, pen_y * inv_d)
     tx, ty = -ny, nx
 
-    rax = pt_x - ga(px)
-    ray = pt_y - ga(py)
-    rbx = pt_x - gb(px)
-    rby = pt_y - gb(py)
+    gpx_a, gpx_b = gab(px)
+    gpy_a, gpy_b = gab(py)
+    rax = pt_x - gpx_a
+    ray = pt_y - gpy_a
+    rbx = pt_x - gpx_b
+    rby = pt_y - gpy_b
     ran = rax * ny - ray * nx
     rbn = rbx * ny - rby * nx
     rat = rax * ty - ray * tx
@@ -678,8 +717,7 @@ def solve_arrays(
         blockable = has_p & active & (pswap(active_f) > 0)
 
     def rel_vel(vx, vy, om):
-        gax, gay, om_a = ga3(vx, vy, om)
-        gbx, gby, om_b = gb3(vx, vy, om)
+        gax, gay, om_a, gbx, gby, om_b = gab3(vx, vy, om)
         vax = gax - ray * om_a
         vay = gay + rax * om_a
         vbx = gbx - rby * om_b

@@ -273,7 +273,7 @@ def rollout(
 
 def batched_rollout(env, states, policy_fn, policy_params, n_steps,
                     checkpoint_segments=0, max_chunk=None, mesh=None,
-                    remat_steps=False):
+                    remat_steps=False, traj_select=None):
     """Batched rollout: uses the env's plane-space fast path when available
 
     (``env.rollout_batch``, bit-identical to the vmapped path), falling back
@@ -306,7 +306,7 @@ def batched_rollout(env, states, policy_fn, policy_params, n_steps,
         def segment(s):
             return fast(s, policy_fn, seg, policy_params,
                         max_chunk=max_chunk, mesh=mesh,
-                        remat_steps=remat_steps)
+                        remat_steps=remat_steps, traj_select=traj_select)
 
         def seg_step(s, _):
             return segment(s)
@@ -319,7 +319,7 @@ def batched_rollout(env, states, policy_fn, policy_params, n_steps,
     if fast is not None and not checkpoint_segments:
         return fast(states, policy_fn, n_steps, policy_params,
                     max_chunk=max_chunk, mesh=mesh,
-                    remat_steps=remat_steps)
+                    remat_steps=remat_steps, traj_select=traj_select)
     if max_chunk or mesh is not None or remat_steps:
         # same loud-rejection policy as the checkpoint_segments guard: the
         # vmap fallback has no wave machinery, and silently running one
@@ -336,6 +336,8 @@ def batched_rollout(env, states, policy_fn, policy_params, n_steps,
     )(states)
     # normalize to the fast path's time-major [T, B, ...] trajectory layout
     tss = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), tss)
+    if traj_select is not None:
+        tss = traj_select(tss)  # post-hoc on the fallback (no memory win)
     return final, tss
 
 
@@ -361,14 +363,19 @@ def make_train_step(
     """
 
     def loss_fn(params, states):
-        final, tss = batched_rollout(
+        # stack ONLY the reward plane: the unused TimeStep leaves (obs,
+        # info, done flags) otherwise materialize as [T, B, ...] buffers
+        # through every checkpoint-segment boundary — measured 40% of the
+        # train step's device time (round-5 roofline --train)
+        final, rewards = batched_rollout(
             env, states, policy_fn, params, n_steps, checkpoint_segments,
             max_chunk=max_chunk, mesh=mesh, remat_steps=remat_steps,
+            traj_select=lambda ts: ts.reward,
         )
         # discounted return through the differentiable step ([T, B] rewards)
         T = n_steps
         disc = discount ** jnp.arange(T, dtype=jnp.float32)
-        ret = jnp.sum(tss.reward * disc[:, None], axis=0)  # [B]
+        ret = jnp.sum(rewards * disc[:, None], axis=0)  # [B]
         return -jnp.mean(ret), (final, jnp.mean(ret))
 
     def train_step(params, opt_state, states):

@@ -407,6 +407,40 @@ def apply_impulse(body, impulse, point):
     body.omega = body.omega + torque / body.inertia
 
 
+def velocity_at(body, point):
+    """AbstractBody.velocity_at: point velocity = v + perp(r) * omega (the
+    same relative-velocity form resolve_collision uses,
+    _collision_resolution.py:86-92)."""
+    return body.vel + perpendicular_vector(point - body.pos) * body.omega
+
+
+def rotate_vec(v, angle):
+    """rotate (_geometry_utils.py:12-27)."""
+    c = F(np.cos(F(angle)))
+    s = F(np.sin(F(angle)))
+    return f32([c * v[0] - s * v[1], s * v[0] + c * v[1]])
+
+
+def apply_joint(bodies, ia, ib, anchor_a, anchor_b, kp=1.0, kd=0.05, v0=0.1):
+    """fixed_positional_constraint + impulse_fn
+    (_lunar_lander.py:175-204): spring-damper impulse
+    ``J = dp * kp + dv * (|dv| + v0) * kd`` applied -J at body ``ia``'s
+    world anchor and +J at body ``ib``'s.  Local anchors rotate with the
+    body poses (computing them per joint call is identical to the
+    reference's precompute-all-anchors: joint impulses never move
+    positions).  Mutates ``bodies`` in place (round-5 config-4 oracle)."""
+    pa = rotate_vec(f32(anchor_a), bodies[ia].angle) + bodies[ia].pos
+    pb = bodies[ib].pos + rotate_vec(f32(anchor_b), bodies[ib].angle)
+    dp = pa - pb
+    dv = velocity_at(bodies[ia], pa) - velocity_at(bodies[ib], pb)
+    J = dp * F(kp) + dv * (norm(dv) + F(v0)) * F(kd)
+    b1, b2 = bodies[ia].copy(), bodies[ib].copy()
+    apply_impulse(b1, -J, pa)
+    apply_impulse(b2, J, pb)
+    bodies[ia] = b1
+    bodies[ib] = b2
+
+
 def resolve_collision(body1, body2, contact_info):
     """resolve_collision (+_notnan) (_collision_resolution.py:52-151).
     Mutates copies; returns (new_body1, new_body2)."""

@@ -357,3 +357,180 @@ def test_config3_polygon_stack_matches_numpy_oracle():
     np.testing.assert_allclose(  # final resting heights
         frames[-1, :3, 1], golden[-1, :3, 1], rtol=0, atol=1e-3
     )
+
+
+def test_config4_lander_joints_match_numpy_oracle():
+    """BASELINE config 4's dynamics core (round-5 VERDICT #3): the jointed
+    lander — hull + two legs pinned by four spring-damper joints
+    (_lunar_lander.py:145-204) with the reference's leg angular damping
+    (_lunar_lander.py:206-212) — landing on a flat pad, oracle vs the
+    repo's reference-mode pipeline run LIVE.  This closes the last
+    self-referential corner: the joint impulse law and leg damping now
+    have expected values the repo did not generate.  (The full config-4
+    golden additionally layers terrain PRNG + thrust + reward, which are
+    env bookkeeping over this same dynamics core.)
+
+    Geometry constants (hull polygon, leg quads, anchors) are shared
+    INPUTS taken from the env module — the oracle independence claim is
+    about the dynamics formulas, not the vertex tables, and those
+    constants are pinned against the reference separately
+    (tests/test_lunar_lander.py)."""
+    from parallax_tpu.envs.lunar_lander import (
+        LANDER_POLY, LEG_AWAY, LEG_DOWN, SCALE, _leg_vertices,
+    )
+    from parallax_tpu.dynamics.impulses import ContactSolverConfig
+    from parallax_tpu.dynamics.joints import Joints
+    from parallax_tpu.engine.world import BodyDef, World, WorldConfig
+    from parallax_tpu.geometry.shapes import polygon
+    from tests.ref_oracle_numpy import (
+        apply_joint,
+        polygon_vs_polygon,
+        resolve_collision,
+        world_polygon,
+    )
+
+    dir0 = _gjk_seed_direction()
+    n_steps, dt, gravity = 160, np.float32(0.01), f32((0.0, -2.0))
+    DAMP = np.float32(0.95)  # reference leg omega damping
+    PAD = [(-4.0, -1.0), (4.0, -1.0), (4.0, 0.0), (-4.0, 0.0)]
+    hull_v = np.asarray(LANDER_POLY, np.float32) * SCALE
+    legL_v = _leg_vertices(+1)
+    legR_v = _leg_vertices(-1)
+    H0 = 1.3
+    anchors_a = np.array(
+        [[LEG_AWAY * SCALE, -LEG_DOWN * SCALE],
+         [LEG_AWAY * SCALE, (-LEG_DOWN + 8) * SCALE],
+         [-LEG_AWAY * SCALE, -LEG_DOWN * SCALE],
+         [-LEG_AWAY * SCALE, (-LEG_DOWN + 8) * SCALE]], np.float32)
+    anchors_b = np.array(
+        [[0.0, 0.0], [0.0, 0.4], [0.0, 0.0], [0.0, 0.4]], np.float32)
+    jbody_a = [0, 0, 0, 0]
+    jbody_b = [2, 2, 1, 1]  # left1, left2, right1, right2 (env order)
+
+    # --- repo reference-mode pipeline, LIVE ---
+    defs = [
+        BodyDef(shapes=[polygon(hull_v)], mass=30.0, inertia=30.0,
+                position=(0.0, H0), angle=0.01, friction=0.1, elasticity=0.5),
+        BodyDef(shapes=[polygon(legR_v)], mass=1.0, inertia=1.0,
+                position=(-LEG_AWAY * SCALE, -LEG_DOWN * SCALE + H0),
+                friction=0.1, elasticity=0.5),
+        BodyDef(shapes=[polygon(legL_v)], mass=1.0, inertia=1.0,
+                position=(LEG_AWAY * SCALE, -LEG_DOWN * SCALE + H0),
+                friction=0.1, elasticity=0.5),
+        BodyDef(shapes=[polygon(PAD)], mass=np.inf, inertia=np.inf,
+                elasticity=0.1, friction=0.1),
+    ]
+    joints = Joints.make(jbody_a, jbody_b, anchors_a, anchors_b,
+                         kp=1.0, kd=0.05, v0=0.1)
+    world, state = World.build(defs, WorldConfig(
+        dt=float(dt), gravity=(0.0, float(gravity[1])),
+        integrator="reference", narrowphase="gjk_epa",
+        solver_mode="random_one_per_body",
+        contact=ContactSolverConfig.reference(), broadphase=False,
+        joint_mode="gauss_seidel",
+    ), joints=joints)
+
+    damp_vec = jnp.asarray([1.0, DAMP, DAMP, 1.0])
+
+    @jax.jit
+    def run(state):
+        def f(carry, key):
+            s, _ = carry
+            s, c = world.step(s, key=key)
+            s = s.replace(omega=s.omega * damp_vec)
+            return (s, c), jnp.concatenate(
+                [s.pos, s.vel, s.angle[:, None], s.omega[:, None]], axis=-1
+            )
+
+        keys = jax.random.split(jax.random.PRNGKey(77), n_steps)
+        _, traj = jax.lax.scan(f, (state, world.detect_contacts(state)), keys)
+        return traj
+
+    pipe = np.asarray(run(state))  # [T, 4, 6]
+
+    # --- oracle ---
+    bodies = [
+        Body(pos=(0.0, H0), vel=(0.0, 0.0), angle=0.01, omega=0.0,
+             mass=30.0, inertia=30.0, elasticity=0.5, friction=0.1),
+        Body(pos=(-LEG_AWAY * SCALE, -LEG_DOWN * SCALE + H0), vel=(0.0, 0.0),
+             angle=0.0, omega=0.0, mass=1.0, inertia=1.0, elasticity=0.5,
+             friction=0.1),
+        Body(pos=(LEG_AWAY * SCALE, -LEG_DOWN * SCALE + H0), vel=(0.0, 0.0),
+             angle=0.0, omega=0.0, mass=1.0, inertia=1.0, elasticity=0.5,
+             friction=0.1),
+        Body(pos=(0.0, 0.0), vel=(0.0, 0.0), angle=0.0, omega=0.0,
+             mass=np.inf, inertia=np.inf, elasticity=0.1, friction=0.1),
+    ]
+    locals_ = [
+        order_clockwise(hull_v), order_clockwise(legR_v),
+        order_clockwise(legL_v), order_clockwise(f32(PAD)),
+    ]
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+
+    keys = jax.random.split(jax.random.PRNGKey(77), n_steps)
+    frames = []
+    contact_steps = {1: 0, 2: 0}
+    dyn_dyn_hits = 0
+    for t in range(n_steps):
+        for b in bodies:
+            b.pos = b.pos + b.vel * dt
+            b.angle = b.angle + b.omega * dt
+        for b in bodies:
+            if np.isfinite(b.mass):
+                b.vel = b.vel + gravity * dt
+
+        polys = [world_polygon(b, lv) for b, lv in zip(bodies, locals_)]
+        infos = [polygon_vs_polygon(polys[a], polys[b], dir0)
+                 for a, b in pairs]
+        active = np.array([not info.isnan() for info in infos])
+        dyn_dyn_hits += int(active[0] or active[1] or active[3])
+
+        bkeys = jax.random.split(keys[t], len(bodies))
+        for i in range(len(bodies)):
+            cand = np.array(
+                [act and (i in pr) for act, pr in zip(active, pairs)]
+            )
+            if not cand.any():
+                continue
+            logits = jnp.where(jnp.asarray(cand), 0.0, -jnp.inf)
+            c = int(jax.random.categorical(bkeys[i], logits))
+            a_idx, b_idx = pairs[c]
+            info = infos[c] if i == a_idx else infos[c].invert()
+            j = b_idx if i == a_idx else a_idx
+            b1, b2 = resolve_collision(bodies[i], bodies[j], info)
+            bodies[i] = b1
+            bodies[j] = b2
+            if i in contact_steps and j == 3:
+                contact_steps[i] += 1
+
+        # joints AFTER contact resolution (PARITY.md step order; reference:
+        # World.step then LunarLander.step), then leg damping
+        for k in range(4):
+            apply_joint(bodies, jbody_a[k], jbody_b[k],
+                        anchors_a[k], anchors_b[k])
+        for leg in (1, 2):
+            bodies[leg].omega = bodies[leg].omega * DAMP
+
+        frames.append(_snap(bodies))
+    frames = np.stack(frames)  # [T, 4, 6]
+
+    # scenario richness: both legs really land and stay in contact, the
+    # joints hold (legs end near their hull anchors), no hull-leg contacts
+    # muddy the choice schedule
+    assert contact_steps[1] > 20 and contact_steps[2] > 20, contact_steps
+    assert dyn_dyn_hits == 0, "legs must not touch the hull in this scenario"
+    assert frames[-1, 0, 1] > 0.5, "hull must be held up by the legs"
+    for leg in (1, 2):
+        assert abs(frames[-1, leg, 1] - (-0.4 + frames[-1, 0, 1])) < 0.2
+
+    # agreement envelope (same derivation as the bounce test): free-fall
+    # prefix at transcription precision, post-contact bounded oscillation
+    first_contact = int(np.argmax(frames[:, 1, 1] < 0.05)) or 40
+    np.testing.assert_allclose(
+        frames[: first_contact - 2], pipe[: first_contact - 2],
+        rtol=0, atol=5e-6,
+    )
+    np.testing.assert_allclose(frames[:, :, :2], pipe[:, :, :2], rtol=0, atol=5e-3)
+    np.testing.assert_allclose(frames[:, :, 2:], pipe[:, :, 2:], rtol=0, atol=5e-2)
+    # final settled pose: tight agreement
+    np.testing.assert_allclose(frames[-1, :, :2], pipe[-1, :, :2], rtol=0, atol=2e-3)

@@ -296,7 +296,9 @@ def test_tile_for_budgets():
 
     assert tile_for(52, 8192) == TILE_B  # lander: full tile
     assert tile_for(1320, 8192, any_partner=True) == 256  # 48-ball world
-    assert tile_for(1320, 8192, any_partner=False) == 512  # leaner kernel
+    # leaner kernel; 256 not 512 under the default split3 dots (the split
+    # live multiplier — billiards48 VMEM-failed at 512 on hardware, r5)
+    assert tile_for(1320, 8192, any_partner=False) == 256
     assert tile_for(52, 8192 + 128) == 128  # odd batch: only 128 divides
     assert tile_for(10**6, 8192) is None  # nothing fits -> XLA fallback
     assert tile_for(52, 100) is None  # batch not tileable

@@ -380,9 +380,9 @@ def main():
         print(f"{'TOTAL':<18}{tot / 1e3:>14.2f}")
         print(f"# {B * horizon / (tot / 1e6) / 1e6:.2f}M train env-steps/s "
               f"device-side")
-        top = unattributed.most_common(5)
+        top = unattributed.most_common(30)
         print("# top unattributed ops:",
-              ", ".join(f"{n} ({d / 1e3:.1f}ms)" for n, d in top))
+              ", ".join(f"{n} ({d / 1e3:.2f}ms)" for n, d in top))
         return
     flops = phase_costs(env, B)
     model = traffic_model(env, B)
@@ -433,9 +433,9 @@ def main():
             print(f"# {ph} top ops:",
                   ", ".join(f"{n} ({d / inner:.1f}us)" for n, d in top))
     if unattributed:
-        top = unattributed.most_common(5)
+        top = unattributed.most_common(25)
         print("# top unattributed ops:",
-              ", ".join(f"{n} ({d / inner:.1f}us/step)" for n, d in top))
+              ", ".join(f"{n} ({d / inner:.2f}us/step)" for n, d in top))
 
 
 if __name__ == "__main__":
