@@ -40,10 +40,14 @@ from parallax_tpu.dynamics.impulses import ContactSolverConfig
 # backward (recompute SAT/manifolds from positions instead of stacking
 # their residuals) — the repo's recompute-beats-copy lesson (DESIGN §7c)
 # applied to collide's 2.7x-forward vjp.  Read at import; trace-time
-# semantics like PARALLAX_PALLAS_BWD (set before launch).
-_REMAT_COLLIDE = _os.environ.get("PARALLAX_REMAT_COLLIDE", "0") != "0"
+# semantics like PARALLAX_PALLAS_BWD (set before launch).  Measured
+# NEGATIVE on v5e (lander train 2.06M vs 2.77M: the extra collide replay
+# per backward step outweighs the residual traffic saved) — kept as the
+# documented experiment switch.
 from parallax_tpu.engine.collider import MANIFOLD_KERNELS
 from parallax_tpu.geometry.shapes import BOX, CIRCLE, POLYGON, edge_mask_for
+
+_REMAT_COLLIDE = _os.environ.get("PARALLAX_REMAT_COLLIDE", "0") != "0"
 
 INF = jnp.inf
 

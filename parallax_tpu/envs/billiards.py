@@ -69,6 +69,13 @@ class BilliardsConfig:
     # run the whole physics step as one fused Pallas kernel (cc/cb pair
     # groups — supported since round 3); requires batch % TILE_B == 0
     use_pallas_fused: bool = False
+    # offset-rolled all-pairs physics (engine/rolled.py): replaces the
+    # [C, n] one-hot lane machinery with static rolls.  Measured NEGATIVE
+    # on v5e (DESIGN §4b round-5 closure: 0.53M vs 1.11M at billiards48 —
+    # permutation gathers ARE one-hot matmuls on TPU); kept as an
+    # independent, value-equivalent cross-check of the solver math
+    # (tests/test_rolled.py).
+    rolled: bool = False
 
 
 class BilliardsState(struct.PyTreeNode):
@@ -170,6 +177,27 @@ class Billiards(PlaneEnvMixin, Environment, BatchedEnvironmentMixin):
         )
         self.world, self._init_bodies = World.build(balls + walls, wc)
         self.n_balls = n
+        if config.rolled:
+            from parallax_tpu.engine.rolled import RolledCircleWorld
+
+            self._rolled_world = RolledCircleWorld(
+                n_balls=n,
+                radius=BALL_R,
+                inv_mass=1.0,
+                inv_inertia=1.0 / (2.0 / 5.0 * BALL_R**2),
+                e_ball=config.elasticity,
+                mu_ball=config.friction,
+                walls_lb=((-w - t, -h - t), (-w - t, h), (-w - t, -h), (w, -h)),
+                walls_ub=((w + t, -h), (w + t, h + t), (-w, h), (w + t, h)),
+                e_wall=config.wall_elasticity,
+                mu_wall=config.friction,
+                dt=config.dt,
+                gravity=(0.0, 0.0),
+                integrator="symplectic",
+                iterations=config.solver_iterations,
+                position_iterations=config.position_iterations,
+                contact=wc.contact,
+            )
         # [n_bodies, 1] init planes for the plane-space auto-reset
         ib = self._init_bodies
         self._init_planes_np = tuple(
@@ -293,6 +321,16 @@ def _bl_plane_make_state(self, bodies, aux, t, key):
     )
 
 
+def _bl_plane_physics(self, s, potted):
+    if self.config.rolled:
+        from parallax_tpu.engine.rolled import physics_rolled
+
+        return physics_rolled(self._rolled_world, s)
+    from parallax_tpu.engine.batched import physics_core
+
+    return physics_core(self.world, s)
+
+
 def _bl_plane_pre(self, s, potted, actions):
     cfg = self.config
     B = s.px.shape[-1]
@@ -375,6 +413,7 @@ def _bl_plane_fresh(self, rkeys):
     return fresh_s, 0.0
 
 
+Billiards.plane_physics = _bl_plane_physics
 Billiards.plane_pack = _bl_plane_pack
 Billiards.plane_make_state = _bl_plane_make_state
 Billiards.plane_pre = _bl_plane_pre
