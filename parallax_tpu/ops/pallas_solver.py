@@ -274,12 +274,17 @@ def _build_operands(world):
                          np.float32)
     acc_a = oh_a.T * movable[:, None]  # [n, C]
     acc_b = oh_b.T * movable[:, None]
+    # NUMPY on purpose: jnp constants created inside a traced region (a
+    # scan body, a checkpoint segment) become trace-owned tracers, and a
+    # custom_vjp closure that captures them leaks them into the transpose
+    # trace (hit by the fused-step backward, round 5).  pallas_call
+    # converts numpy operands within whichever trace invokes it.
     return dict(
         C=C, n=n,
-        lane_const=jnp.asarray(lane_const),
-        oh_a=jnp.asarray(oh_a), oh_b=jnp.asarray(oh_b),
-        oh_p=jnp.asarray(oh_p),
-        acc_a=jnp.asarray(acc_a), acc_b=jnp.asarray(acc_b),
+        lane_const=lane_const,
+        oh_a=oh_a, oh_b=oh_b,
+        oh_p=oh_p,
+        acc_a=acc_a, acc_b=acc_b,
         # static: any 2-point-manifold lanes at all?  circle/box-only
         # worlds (billiards, robocup) have none — the whole 2x2 block-solve
         # path and every pswap (oh_p == identity there) drop out of the

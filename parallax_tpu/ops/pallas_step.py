@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from parallax_tpu.geometry.shapes import POLYGON, edge_mask_for
 from parallax_tpu.ops.pallas_solver import (
+    MXU_PRECISION,
     TILE_B,
     _VMEM_BUDGET,
     _build_operands,
@@ -42,16 +43,30 @@ INF = float("inf")
 # temporaries, state/terrain planes and the contact buffer all ride in
 # VMEM alongside the ~48 solver rows.  Measured anchor: RoboCup (C=70,
 # n=11) at tile 1024 allocates 16.97 MB scoped, i.e. ~61 f32 [*, tile]
-# rows per contact lane; 64 is the conservative model.
+# rows per contact lane; 64 is the conservative model.  The backward
+# kernel recomputes the whole step AND holds per-iteration vjp snapshots
+# — same scaling policy as pallas_solver's bwd model.
 _FUSED_LIVE_FACTOR = 64
+# bwd calibration (round 5, v5e): lander (C=52, 4+3 iters, split3) used
+# 145.54 MB at tile 1024 = 683 effective rows/lane; 150 + 40*iters with
+# the 1.6x split multiplier reproduces that (688) and fits at tile 512.
+_FUSED_LIVE_BWD_BASE = 150
+_FUSED_LIVE_BWD_PER_ITER = 40
 
 
-def fused_tile_for(n_contacts: int, batch: int):
+def fused_tile_for(n_contacts: int, batch: int, bwd: bool = False,
+                   total_iterations: int = 7):
     """Largest viable world-batch tile for the FUSED step on this contact
     table, or None when even the smallest tile spills VMEM (callers then
     take the split collide-in-XLA path).  Same ladder/contract as
     ``pallas_solver.tile_for`` with the fused live-row model."""
-    rows = _FUSED_LIVE_FACTOR * max(n_contacts, 1)
+    if bwd:
+        live = _FUSED_LIVE_BWD_BASE + _FUSED_LIVE_BWD_PER_ITER * total_iterations
+    else:
+        live = _FUSED_LIVE_FACTOR
+    if MXU_PRECISION in ("split2", "split3"):
+        live = int(live * (1.6 if MXU_PRECISION == "split3" else 1.35))
+    rows = live * max(n_contacts, 1)
     for t in sorted({TILE_B, 1024, 512, 256, 128}, reverse=True):
         if t > TILE_B:
             continue
@@ -332,22 +347,17 @@ def _pp_manifold_arrays(ax, ay, ema, bx, by, emb):
 # ---------------------------------------------------------------------------
 
 
-def _step_kernel(
-    const_ref, oh_a_ref, oh_b_ref, oh_p_ref, acc_a_ref, acc_b_ref,
-    masks_ref, tx_ref, ty_ref,
-    px_ref, py_ref, vx_ref, vy_ref, ang_ref, om_ref,
-    opx_ref, opy_ref, ovx_ref, ovy_ref, oang_ref, oom_ref, oact_ref,
+def step_arrays(
+    lane_const, oh_a, oh_b, oh_p, acc_a, acc_b, masks, tx_in, ty_in,
+    px, py, vx, vy, ang, om,
     *, st, mask_slices, iterations, position_iterations, dt, gx, gy,
     symplectic, config, n_terrain,
 ):
+    """The ENTIRE fused step on plain arrays — shared by the forward
+    kernel (writes refs) and the backward kernel (jax.vjp of this trace
+    in VMEM, mirroring ops.pallas_solver's fwd/bwd pairing)."""
     n = st["n"]
     V = st["V"]
-    px = px_ref[:]
-    py = py_ref[:]
-    vx = vx_ref[:]
-    vy = vy_ref[:]
-    ang = ang_ref[:]
-    om = om_ref[:]
 
     def grav(vx, vy):
         # .at[].add lowers to scatter-add (unsupported in Pallas TPU):
@@ -376,9 +386,8 @@ def _step_kernel(
     sin_rows = [jnp.sin(ang[b]) for b in range(n)]
 
     TB = px.shape[-1]
-    terrain_x = tx_ref[:].reshape(n_terrain, V, TB) if n_terrain else None
-    terrain_y = ty_ref[:].reshape(n_terrain, V, TB) if n_terrain else None
-    masks = masks_ref[:]  # [n_groups_masks_rows, Vmax]
+    terrain_x = tx_in.reshape(n_terrain, V, TB) if n_terrain else None
+    terrain_y = ty_in.reshape(n_terrain, V, TB) if n_terrain else None
 
     # circle/box analytic lane kernels: the engine's batch-minor planes
     # implementations are pure 2-D elementwise jnp and lower through Mosaic
@@ -442,8 +451,7 @@ def _step_kernel(
     act = jnp.concatenate(act_parts, axis=0)
 
     px, py, vx, vy, ang, om = solve_arrays(
-        const_ref[:], oh_a_ref[:], oh_b_ref[:], oh_p_ref[:],
-        acc_a_ref[:], acc_b_ref[:],
+        lane_const, oh_a, oh_b, oh_p, acc_a, acc_b,
         pen_x, pen_y, pt_x, pt_y, act,
         px, py, vx, vy, ang, om,
         iterations=iterations, position_iterations=position_iterations,
@@ -459,6 +467,22 @@ def _step_kernel(
             st["joints"], st["im"], st["ii"], px, py, vx, vy, ang, om
         )
 
+    return px, py, vx, vy, ang, om, act
+
+
+def _step_kernel(
+    const_ref, oh_a_ref, oh_b_ref, oh_p_ref, acc_a_ref, acc_b_ref,
+    masks_ref, tx_ref, ty_ref,
+    px_ref, py_ref, vx_ref, vy_ref, ang_ref, om_ref,
+    opx_ref, opy_ref, ovx_ref, ovy_ref, oang_ref, oom_ref, oact_ref,
+    **kw,
+):
+    px, py, vx, vy, ang, om, act = step_arrays(
+        const_ref[:], oh_a_ref[:], oh_b_ref[:], oh_p_ref[:],
+        acc_a_ref[:], acc_b_ref[:], masks_ref[:], tx_ref[:], ty_ref[:],
+        px_ref[:], py_ref[:], vx_ref[:], vy_ref[:], ang_ref[:], om_ref[:],
+        **kw,
+    )
     opx_ref[:] = px
     opy_ref[:] = py
     ovx_ref[:] = vx
@@ -466,6 +490,50 @@ def _step_kernel(
     oang_ref[:] = ang
     oom_ref[:] = om
     oact_ref[:] = act
+
+
+def _step_bwd_kernel(
+    const_ref, oh_a_ref, oh_b_ref, oh_p_ref, acc_a_ref, acc_b_ref,
+    masks_ref, tx_ref, ty_ref,
+    px_ref, py_ref, vx_ref, vy_ref, ang_ref, om_ref,
+    gpx_ref, gpy_ref, gvx_ref, gvy_ref, gang_ref, gom_ref,
+    dtx_ref, dty_ref,
+    dpx_ref, dpy_ref, dvx_ref, dvy_ref, dang_ref, dom_ref,
+    **kw,
+):
+    """Reverse pass of the fused step as ONE kernel: recompute the whole
+    step (collide + solve + joints) in VMEM and transpose it there
+    (same recompute-from-inputs residual policy as the solver bwd kernel).
+    The ``act`` output is comparison-derived (zero vjp), so only the six
+    state cotangents come in."""
+    lane = const_ref[:]
+    oh_a = oh_a_ref[:]
+    oh_b = oh_b_ref[:]
+    oh_p = oh_p_ref[:]
+    acc_a = acc_a_ref[:]
+    acc_b = acc_b_ref[:]
+    masks = masks_ref[:]
+
+    def f(tx_in, ty_in, px, py, vx, vy, ang, om):
+        out = step_arrays(
+            lane, oh_a, oh_b, oh_p, acc_a, acc_b, masks, tx_in, ty_in,
+            px, py, vx, vy, ang, om, **kw,
+        )
+        return out[:6]
+
+    _, vjp = jax.vjp(
+        f,
+        tx_ref[:], ty_ref[:],
+        px_ref[:], py_ref[:], vx_ref[:], vy_ref[:], ang_ref[:], om_ref[:],
+    )
+    grads = vjp(
+        (gpx_ref[:], gpy_ref[:], gvx_ref[:], gvy_ref[:], gang_ref[:],
+         gom_ref[:])
+    )
+    dtx_ref[:], dty_ref[:] = grads[0], grads[1]
+    dpx_ref[:], dpy_ref[:], dvx_ref[:], dvy_ref[:], dang_ref[:], dom_ref[:] = (
+        grads[2:]
+    )
 
 
 def _assemble(world, terrain_parts, dt, accel, interpret):
@@ -499,7 +567,10 @@ def _assemble(world, terrain_parts, dt, accel, interpret):
             rows.append(np.pad(r, (0, Vmax - len(r))))
         eb = len(rows)
         mask_slices.append(((sa, ea), (sb, eb)))
-    masks = jnp.asarray(np.stack(rows).astype(np.float32))
+    # keep masks as NUMPY: jnp constants created here leak as tracers when
+    # the custom_vjp backward (traced later, e.g. under jax.checkpoint)
+    # closes over them — each call site converts within its own trace
+    masks = np.stack(rows).astype(np.float32)
 
     kernel = functools.partial(
         _step_kernel,
@@ -584,7 +655,68 @@ def physics_core_pallas(world, s, terrain_override=None, dt=None, accel=None,
     def _fwd(args):
         return _step(args), args
 
+    import os as _os
+
+    use_pallas_bwd = (
+        _os.environ.get("PARALLAX_PALLAS_BWD", "1") != "0"
+        and fused_tile_for(
+            C, B, bwd=True,
+            total_iterations=(world.config.solver_iterations
+                              + world.config.position_iterations),
+        ) is not None
+    )
+
+    def _bwd_pallas(res, g):
+        """One-launch reverse pass: recompute the fused step in VMEM and
+        transpose it there (_step_bwd_kernel) — the backward twin that
+        collapses the collide transpose + residual stacking the same way
+        the solver bwd kernel collapsed the solver vjp (DESIGN §7d)."""
+        tx_, ty_, px, py, vx, vy, ang, om = res
+        tbb = fused_tile_for(
+            C, B, bwd=True,
+            total_iterations=(world.config.solver_iterations
+                              + world.config.position_iterations),
+        )
+        # rebuild device operands INSIDE the backward trace: reusing the
+        # forward trace's jnp constants leaks tracers when fwd and bwd are
+        # traced separately (jax.checkpoint segments, scan transposes)
+        ops_b = _build_operands(world)
+
+        def btile(rows):
+            return pl.BlockSpec((rows, tbb), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+
+        bwd_kernel = functools.partial(_step_bwd_kernel, **kernel.keywords)
+        bwd_outs = pl.pallas_call(
+            bwd_kernel,
+            grid=(B // tbb,),
+            in_specs=(
+                [whole(ops_b["lane_const"]), whole(ops_b["oh_a"]),
+                 whole(ops_b["oh_b"]), whole(ops_b["oh_p"]),
+                 whole(ops_b["acc_a"]), whole(ops_b["acc_b"]), whole(masks)]
+                + [btile(tx_.shape[0]), btile(ty_.shape[0])]
+                + [btile(n)] * 12
+            ),
+            out_specs=[btile(tx_.shape[0]), btile(ty_.shape[0])]
+            + [btile(n)] * 6,
+            out_shape=[
+                jax.ShapeDtypeStruct(tx_.shape, tx_.dtype),
+                jax.ShapeDtypeStruct(ty_.shape, ty_.dtype),
+            ]
+            + [jax.ShapeDtypeStruct((n, B), px.dtype) for _ in range(6)],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BUDGET),
+            interpret=interpret,
+        )(
+            ops_b["lane_const"], ops_b["oh_a"], ops_b["oh_b"], ops_b["oh_p"],
+            ops_b["acc_a"], ops_b["acc_b"], jnp.asarray(masks),
+            tx_, ty_, px, py, vx, vy, ang, om,
+            g[0], g[1], g[2], g[3], g[4], g[5],
+        )
+        return (tuple(bwd_outs),)
+
     def _bwd(res, g):
+        if use_pallas_bwd:
+            return _bwd_pallas(res, g)
         from parallax_tpu.engine.batched import _SoA, physics_core
 
         tx_, ty_, px, py, vx, vy, ang, om = res

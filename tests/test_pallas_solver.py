@@ -118,6 +118,74 @@ def test_fused_step_kernel_matches_physics_core(contact_state):
     )
 
 
+def test_fused_step_bwd_kernel_matches_xla_vjp(monkeypatch):
+    """Round 5: the fused-step BACKWARD kernel (_step_bwd_kernel —
+    recompute + jax.vjp of the whole collide+solve+joints trace in VMEM)
+    agrees with the XLA path's vjp on every state plane AND the terrain
+    planes."""
+    import dataclasses
+
+    from parallax_tpu.engine.batched import _to_soa, physics_core
+    from parallax_tpu.ops.pallas_step import (
+        fused_tile_for,
+        physics_core_pallas,
+        supports_fused_step,
+    )
+
+    env = LunarLander()
+    world = env.world.replace(
+        config=dataclasses.replace(env.world.config, broadphase=False)
+    )
+    assert supports_fused_step(world)
+    B = 128
+    assert fused_tile_for(world.table.n_contacts, B, bwd=True) is not None
+    states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(5), B))
+    bodies = states.bodies.replace(
+        pos=states.bodies.pos - jnp.asarray([0.0, 6.2])[None, None, :],
+    )
+    states = states.replace(bodies=bodies)
+    step = jax.jit(env.step_batch)
+    for _ in range(35):
+        states, _ = step(states, jnp.zeros((B, 2)))
+    s = _to_soa(states.bodies)
+    tflat = jnp.swapaxes(states.terrain, 0, 1)
+    tp = tflat.reshape(7, 8, 2, B)
+    tox = tp[:, :, 0, :]
+    toy = tp[:, :, 1, :]
+    parts = list(env._ground_parts)
+
+    def loss_pallas(s_in, tox, toy):
+        override = {p: (tox[i], toy[i]) for i, p in enumerate(parts)}
+        out, _ = physics_core_pallas(
+            world, s_in, terrain_override=override, interpret=True
+        )
+        return sum((getattr(out, f) ** 2).sum()
+                   for f in ("px", "py", "vx", "vy", "angle", "omega"))
+
+    def loss_xla(s_in, tox, toy):
+        override = {p: (tox[i], toy[i]) for i, p in enumerate(parts)}
+        out, _ = physics_core(world, s_in, terrain_override=override)
+        return sum((getattr(out, f) ** 2).sum()
+                   for f in ("px", "py", "vx", "vy", "angle", "omega"))
+
+    monkeypatch.setenv("PARALLAX_PALLAS_BWD", "1")
+    gp = jax.jit(jax.grad(loss_pallas, argnums=(0, 1, 2)))(s, tox, toy)
+    gx = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))(s, tox, toy)
+    for f in ("px", "py", "vx", "vy", "angle", "omega"):
+        a = np.asarray(getattr(gp[0], f))
+        b = np.asarray(getattr(gx[0], f))
+        assert np.abs(b).max() > 0  # gradient alive
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5, err_msg=f"d{f}")
+    np.testing.assert_allclose(
+        np.asarray(gp[1]), np.asarray(gx[1]), rtol=2e-4, atol=1e-5,
+        err_msg="d_terrain_x",
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp[2]), np.asarray(gx[2]), rtol=2e-4, atol=1e-5,
+        err_msg="d_terrain_y",
+    )
+
+
 def test_pallas_solver_with_joints_matches_jax_path(contact_state):
     """with_joints=True == solve_contacts_bm + apply_joints_bm."""
     from parallax_tpu.engine.batched import apply_joints_bm
@@ -323,9 +391,15 @@ def test_fused_tile_for_budgets():
 
     assert fused_tile_for(52, 8192) == 1024  # lander
     assert fused_tile_for(70, 8192) == 1024  # robocup (needs raised limit)
-    assert fused_tile_for(1320, 8192) == 256  # 48-ball world: shrink
+    # 48-ball world: 128 under the split3 live multiplier (round 5)
+    assert fused_tile_for(1320, 8192) == 128
     assert fused_tile_for(10**6, 8192) is None  # nothing fits -> split path
     assert fused_tile_for(52, 100) is None  # batch not tileable
+    # fused BACKWARD kernel live model (round 5, hardware-calibrated:
+    # 145.5MB at tile 1024 on the lander -> tile 512)
+    assert fused_tile_for(52, 8192, bwd=True) == 512
+    t_heavy = fused_tile_for(52, 8192, bwd=True, total_iterations=40)
+    assert t_heavy is not None and t_heavy < 512
 
 
 def test_build_operands_any_partner_flag():
