@@ -659,6 +659,12 @@ def physics_core_pallas(world, s, terrain_override=None, dt=None, accel=None,
 
     use_pallas_bwd = (
         _os.environ.get("PARALLAX_PALLAS_BWD", "1") != "0"
+        # Mosaic limitation (v5e, round 5): the transpose of the kernel's
+        # bundled concats hits "result/input offset mismatch on non-concat
+        # dimension" when the contact-lane count is not sublane-aligned
+        # (C=70 RoboCup fails, C=48 lander compiles) — fall back to the
+        # XLA vjp for unaligned tables
+        and C % 8 == 0
         and fused_tile_for(
             C, B, bwd=True,
             total_iterations=(world.config.solver_iterations

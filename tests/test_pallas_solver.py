@@ -139,6 +139,9 @@ def test_fused_step_bwd_kernel_matches_xla_vjp(monkeypatch):
     assert supports_fused_step(world)
     B = 128
     assert fused_tile_for(world.table.n_contacts, B, bwd=True) is not None
+    # guard against a vacuous pass: the bwd kernel gate also requires a
+    # sublane-aligned contact table (Mosaic concat-transpose limitation)
+    assert world.table.n_contacts % 8 == 0
     states = env.reset_fn_batch(jax.random.split(jax.random.PRNGKey(5), B))
     bodies = states.bodies.replace(
         pos=states.bodies.pos - jnp.asarray([0.0, 6.2])[None, None, :],
