@@ -405,6 +405,48 @@ def test_fused_tile_for_budgets():
     assert t_heavy is not None and t_heavy < 512
 
 
+def test_split_dot_exactness_and_cotangents():
+    """The split3 one-hot dot (DESIGN §7e) is exactly a @ b for 0/1 a —
+    forward AND backward (the custom_vjp must not round cotangents to
+    bf16; that bug broke hardware gradient parity at 2e-2 before the fix)."""
+    from parallax_tpu.ops.pallas_solver import _make_split_dot
+
+    rng = np.random.RandomState(0)
+    a = (rng.rand(24, 16) < 0.2).astype(np.float32)
+    b = (rng.randn(16, 64) * np.exp(rng.randn(16, 64) * 3)).astype(np.float32)
+    aj, bj = jnp.asarray(a), jnp.asarray(b)
+    dot3 = _make_split_dot(3)
+    got = np.asarray(dot3(aj, bj))
+    want = a.astype(np.float64) @ b.astype(np.float64)
+    # each product term is EXACT (the three components reconstruct b
+    # losslessly); rows with several ones accumulate exact terms in f32,
+    # so agreement with the f64 reference is summation-ULP, and rows with
+    # a single one are bitwise
+    np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-5)
+    single = a.sum(1) == 1
+    np.testing.assert_array_equal(
+        got[single], want.astype(np.float32)[single]
+    )
+
+    g = (rng.randn(24, 64)).astype(np.float32)
+
+    def loss(b_):
+        return jnp.vdot(dot3(aj, b_), jnp.asarray(g))
+
+    db = np.asarray(jax.grad(loss)(bj))
+    want_db = (a.T.astype(np.float64) @ g.astype(np.float64)).astype(np.float32)
+    np.testing.assert_allclose(db, want_db, rtol=1e-5)
+    single_t = a.sum(0) == 1
+    np.testing.assert_array_equal(db[single_t], want_db[single_t])
+    # split2 keeps ~16 mantissa bits per TERM; cancellation can inflate
+    # plain relative error, so measure against the term-magnitude scale
+    dot2 = _make_split_dot(2)
+    got2 = np.asarray(dot2(aj, bj))
+    scale = np.abs(a).astype(np.float64) @ np.abs(b).astype(np.float64)
+    err = np.abs(got2 - want) / np.maximum(scale, 1e-30)
+    assert err.max() < 3e-5, err.max()
+
+
 def test_build_operands_any_partner_flag():
     from parallax_tpu.envs.billiards import Billiards
     from parallax_tpu.ops.pallas_solver import _build_operands
