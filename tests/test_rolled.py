@@ -28,15 +28,15 @@ def _scattered_state(env, B, key, speed=1.5):
     )
 
 
-_HEAVY = bool(int(__import__("os").environ.get("PARALLAX_TEST_N", "0") or 0))
-
-
-# The unrolled per-offset lane blocks compile very slowly on XLA:CPU
-# (n=23 ~ 18+ min, n=47 ~ 40+ min) — those sizes run in the weekly soak
-# lane only.  CI covers both static-mask branches cheaply: n_object=6
-# (nb=7 odd: all offsets fully valid) and n_object=7 (nb=8 even: offset
-# nb/2 half-masked).
-@pytest.mark.parametrize("n_object", [6, 7] + ([23, 47] if _HEAVY else []))
+# Large nb is deliberately NOT tested: the unrolled per-offset lane
+# blocks compile pathologically on XLA:CPU (n=23 exceeded 50 min, n=47
+# 40+ min before being killed) and add no formula coverage — the
+# per-offset lane math is nb-independent, and the two static-mask
+# branches are covered cheaply: n_object=6 (nb=7 odd: all offsets fully
+# valid) and n_object=7 (nb=8 even: offset nb/2 half-masked).  The
+# big-nb PERFORMANCE story lives in DESIGN §4b (measured on TPU, where
+# the compile is fine).
+@pytest.mark.parametrize("n_object", [6, 7])
 def test_rolled_matches_lane_engine(n_object):
     from parallax_tpu.engine.rolled import physics_rolled
 
