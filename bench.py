@@ -302,6 +302,13 @@ def child_main(args) -> None:
             r32 = bench_train(LunarLander(), "lunarlander_remat_waves",
                               batch=32768, remat_steps=True, max_chunk=8192)
             print(json.dumps(r32), flush=True)
+            r64 = bench_train(LunarLander(), "lunarlander_remat_waves",
+                              batch=65536, remat_steps=True, max_chunk=8192)
+            print(json.dumps(r64), flush=True)
+            rh = bench_train(LunarLander(), "lunarlander_h500_remat",
+                             batch=8192, horizon=500,
+                             checkpoint_segments=10, remat_steps=True)
+            print(json.dumps(rh), flush=True)
         return
 
     # headline line (the driver records exactly one JSON line)
